@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Headline benchmark (driver contract): prints ONE JSON line.
+
+Metric (BASELINE.json): images/sec/chip for ResNet-50 INT4-shift (W4-PoT
+weights, INT8 activations, fused conv+BN+ReLU+requantize) at batch-64,
+plus batch-1 p50 latency. vs_baseline compares against the BASELINE.md
+initial target of 19,000 img/s/chip (~20% of int8 MXU speed-of-light).
+
+Stage 1 (offline, subprocess, CPU): Transform Kit builds the quantized
+artifact — transform is numpy/CPU tooling and must not pay TPU compiles.
+Stage 2 (online, this process, TPU): Runtime Engine loads the artifact and
+measures steady-state throughput + latency.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BASELINE_IMG_S = 19000.0  # BASELINE.md §3 initial target (>=20% int8 SOL)
+ART = os.environ.get("TF2TPU_BENCH_ART", "/tmp/tf2tpu_bench_r50_int4")
+BATCH = int(os.environ.get("TF2TPU_BENCH_BATCH", "64"))
+
+
+def ensure_artifact():
+    if os.path.exists(os.path.join(ART, "graph.json")):
+        return
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = [sys.executable, "-m", "tf2_tpu.transform.cli",
+           "--model", "resnet50", "--wbits", "4", "--out", ART,
+           "--batch", "2", "--image", "224", "--calib-batches", "2"]
+    r = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True, text=True,
+                       timeout=1800)
+    if r.returncode != 0:
+        sys.stderr.write(r.stdout + r.stderr)
+        raise RuntimeError("transform stage failed")
+    sys.stderr.write(r.stdout.strip() + "\n")
+
+
+def main():
+    ensure_artifact()
+    import jax
+    import jax.numpy as jnp
+
+    from tf2_tpu.runtime import Engine
+    from tf2_tpu.transform import load_artifact
+
+    graph, params = load_artifact(ART)
+    key = jax.random.PRNGKey(0)
+
+    # batch-64 throughput
+    g64 = graph.with_batch_size(BATCH)
+    eng = Engine(g64, params)
+    x = jax.random.normal(key, g64.inputs["image"].shape, jnp.float32)
+    stats = eng.benchmark(iters=30, warmup=5, image=x)
+
+    # batch-1 p50 latency
+    g1 = graph.with_batch_size(1)
+    eng1 = Engine(g1, params)
+    x1 = x[:1]
+    lat = eng1.benchmark(iters=50, warmup=5, image=x1)
+
+    img_s = stats["throughput_per_s"]
+    result = {
+        "metric": "resnet50_int4shift_images_per_sec_per_chip",
+        "value": round(img_s, 1),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / BASELINE_IMG_S, 3),
+        "batch": BATCH,
+        "p50_batch1_ms": round(lat["latency_s"] * 1e3, 3),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

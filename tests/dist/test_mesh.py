@@ -1,0 +1,96 @@
+"""Distributed tests on the 8-virtual-CPU-device mesh (SURVEY.md §5.4):
+sharding specs, DP/TP execution parity, collective math."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tf2_tpu.graph import execute, init_params
+from tf2_tpu.models import get_model
+from tf2_tpu.parallel import make_mesh, param_shardings, input_shardings
+from tf2_tpu.runtime import Engine
+from tf2_tpu.transform import transform_model, QuantSpec
+
+
+def _quant_model(batch=8, image=32, classes=16):
+    g = get_model("resnet50", batch=batch, image=image, classes=classes,
+                  depths=(1, 1, 1, 1))
+    params = init_params(g, seed=0)
+    batches = [{"image": jax.random.normal(jax.random.PRNGKey(7),
+                                           g.inputs["image"].shape)}]
+    art, fg, fp = transform_model(g, params, batches,
+                                  qspec=QuantSpec(weight_bits=4))
+    return art
+
+
+def test_mesh_shapes():
+    cfg = make_mesh(tp=2)
+    assert cfg.dp == 4 and cfg.tp == 2
+    cfg = make_mesh(tp=8)
+    assert cfg.dp == 1 and cfg.tp == 8
+    with pytest.raises(ValueError):
+        make_mesh(tp=3)
+
+
+def test_param_shardings_tp():
+    art = _quant_model()
+    cfg = make_mesh(tp=2)
+    sh = param_shardings(art.graph, cfg)
+    # a pot4 conv weight: packed (K/2, Cout) -> last axis sharded over tp
+    wp = next(k for k in sh if k.endswith(".wp"))
+    spec = sh[wp].spec
+    assert spec[-1] == "tp"
+    # eff vectors sharded too
+    es = next(k for k in sh if k.endswith(".es"))
+    assert sh[es].spec[-1] == "tp"
+
+
+@pytest.mark.parametrize("tp", [1, 2, 4])
+def test_engine_dp_tp_parity(tp):
+    """Sharded execution must match single-device within ONE int8 quantum:
+    XLA fuses the requant epilogue differently per partitioning (FMA vs
+    mul+add), which flips round() at representation boundaries."""
+    art = _quant_model(batch=8)
+    x = jax.random.normal(jax.random.PRNGKey(3), art.graph.inputs["image"].shape)
+    ref = np.asarray(execute(art.graph)(
+        {k: jnp.asarray(v) for k, v in art.params.items()}, image=x))
+    cfg = make_mesh(tp=tp)
+    eng = Engine(art.graph, art.params, mesh=cfg)
+    out = np.asarray(eng.run(image=x))
+    # final value passed through a dequantize node -> one quantum = scale
+    dq = next(n for n in art.graph.nodes if n.op == "dequantize"
+              and n.name == art.graph.outputs[0])
+    quantum = dq.attrs["scale"]
+    # flips amplify through the layer stack: allow a few quanta, require
+    # most elements bit-identical
+    np.testing.assert_allclose(out, ref, atol=5 * quantum)
+    assert (out == ref).mean() > 0.7
+
+
+def test_engine_fp32_dp():
+    g = get_model("squeezenet_v1_1", batch=8, image=32, classes=10)
+    params = init_params(g, seed=1)
+    x = jax.random.normal(jax.random.PRNGKey(5), g.inputs["image"].shape)
+    ref = np.asarray(execute(g)(params, image=x))
+    eng = Engine(g, params, mesh=make_mesh(tp=1))
+    out = np.asarray(eng.run(image=x))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_psum_channel_sharded_matmul():
+    """Collective math sanity: contracting-dim-sharded matmul + psum equals
+    the dense product (the TP-conv correctness primitive)."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    cfg = make_mesh(tp=8)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(k1, (16, 256))
+    w = jax.random.normal(k2, (256, 64))
+
+    def mm(x, w):
+        return jax.lax.psum(x @ w, "tp")
+
+    smm = shard_map(mm, mesh=cfg.mesh, in_specs=(P(None, "tp"), P("tp", None)),
+                    out_specs=P(None, None))
+    np.testing.assert_allclose(np.asarray(smm(x, w)), np.asarray(x @ w),
+                               atol=1e-3, rtol=1e-3)

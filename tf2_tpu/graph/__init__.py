@@ -1,3 +1,4 @@
 from .ir import Graph, GraphBuilder, Node, TensorSpec, IR_VERSION, OPS
 from .execute import execute, register_op
 from .init_params import init_params
+from . import qops  # registers quantized-op executors

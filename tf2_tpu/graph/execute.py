@@ -181,7 +181,10 @@ def _maxpool(node: Node, params, x):
     wh, ww = node.attrs["window"]
     sh, sw = node.attrs["strides"]
     pad = node.attrs.get("padding", "VALID")
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        neg = jnp.array(jnp.finfo(x.dtype).min, x.dtype)
+    else:
+        neg = jnp.array(jnp.iinfo(x.dtype).min, x.dtype)
     return lax.reduce_window(x, neg, lax.max, (1, wh, ww, 1), (1, sh, sw, 1), pad)
 
 

@@ -61,6 +61,7 @@ OPS = {
     "qconv2d": "fused quantized conv+bias+bn+relu+requant",
     "qdense": "fused quantized dense+bias+relu+requant",
     "qadd": "quantized residual add with rescale",
+    "qconcat": "int8 concat with per-input rescale to a common scale",
 }
 
 
@@ -152,6 +153,19 @@ class Graph:
         for o in self.outputs:
             if o not in seen:
                 raise ValueError(f"graph output {o!r} undefined")
+
+    def with_batch_size(self, batch: int) -> "Graph":
+        """Same graph at a different leading batch dim (ops here are
+        batch-polymorphic; reshape attrs would need care but model builders
+        use flatten, which is batch-agnostic)."""
+        new_inputs = {k: TensorSpec((batch,) + v.shape[1:], v.dtype)
+                      for k, v in self.inputs.items()}
+        g = Graph(self.name, new_inputs, self.outputs,
+                  [Node(n.name, n.op, n.inputs, n.params, dict(n.attrs))
+                   for n in self.nodes],
+                  dict(self.params), dict(self.meta))
+        g.validate()
+        return g
 
     def node_map(self) -> dict[str, Node]:
         return {n.name: n for n in self.nodes}

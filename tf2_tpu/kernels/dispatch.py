@@ -1,0 +1,148 @@
+"""Kernel dispatch — selects Pallas TPU kernels or jnp reference
+implementations for the fused quantized ops.
+
+Reference parity: the FPGA runtime binds each IR layer to a device kernel at
+load time (SURVEY.md §3 R5/R7). Here binding is a pure-function choice made
+at trace time: on TPU the hot ops call Pallas kernels (int8 MXU); elsewhere
+(CPU tests, interpret mode) the jnp reference runs. Both consume the same
+artifact; golden-parity tests pin them together.
+
+Integer-conv strategy:
+- "int": lax conv/dot on int8 with preferred_element_type=int32 — exact.
+- "float": operands cast to fp32 and accumulated in fp32. Products of int8
+  values are exact in fp32; sums stay exact while |acc| < 2^24, true for
+  every layer in the zoo at calibrated ranges except adversarial worst-case.
+Mode auto-resolves per backend; override with set_int_mode().
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..graph.ir import Node
+from ..transform import potq
+
+_INT_MODE: str | None = None      # None=auto, "int", "float"
+_USE_PALLAS: bool | None = None   # None=auto (TPU yes), True/False force
+
+
+def set_int_mode(mode: str | None):
+    global _INT_MODE
+    _INT_MODE = mode
+
+
+def set_use_pallas(flag: bool | None):
+    global _USE_PALLAS
+    _USE_PALLAS = flag
+
+
+def _int_mode() -> str:
+    if _INT_MODE is not None:
+        return _INT_MODE
+    return "int"
+
+
+def use_pallas() -> bool:
+    if _USE_PALLAS is not None:
+        return _USE_PALLAS
+    return jax.default_backend() == "tpu"
+
+
+def decode_weight(node: Node, params) -> jax.Array:
+    """Materialize the int8 weight tensor from the artifact params."""
+    if node.attrs["wfmt"] == "pot4":
+        kshape = tuple(node.attrs["kshape"])
+        k = 1
+        for d in kshape[:-1]:
+            k *= d
+        codes = potq.unpack_codes(params[node.params[0]], k)
+        return potq.pot_decode(codes).reshape(kshape)
+    return params[node.params[0]]
+
+
+def _epilogue(acc_i32, eff_scale, eff_bias, relu: bool):
+    y = acc_i32.astype(jnp.float32) * eff_scale + eff_bias
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+
+
+def qconv2d(node: Node, params, x_q: jax.Array) -> jax.Array:
+    eff_scale = params[node.params[1]]
+    eff_bias = params[node.params[2]]
+    w_q = decode_weight(node, params)
+    strides = tuple(node.attrs.get("strides", [1, 1]))
+    padding = node.attrs.get("padding", "SAME")
+    if not isinstance(padding, str):
+        padding = [tuple(p) for p in padding]
+    groups = node.attrs.get("groups", 1)
+
+    if use_pallas():
+        from . import shift_conv
+        y = shift_conv.fused_qconv2d(
+            x_q, params[node.params[0]], eff_scale, eff_bias,
+            strides=strides, padding=padding, groups=groups,
+            relu=node.attrs["relu"], wfmt=node.attrs["wfmt"],
+            kshape=tuple(node.attrs["kshape"]))
+        if y is not None:
+            return y
+        # fall through: shape unsupported by the kernel — XLA path
+
+    if _int_mode() == "int":
+        acc = lax.conv_general_dilated(
+            x_q, w_q, strides, padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.int32)
+    else:
+        acc = lax.conv_general_dilated(
+            x_q.astype(jnp.float32), w_q.astype(jnp.float32), strides, padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+    return _epilogue(acc, eff_scale, eff_bias, node.attrs["relu"])
+
+
+def qdense(node: Node, params, x_q: jax.Array) -> jax.Array:
+    eff_scale = params[node.params[1]]
+    eff_bias = params[node.params[2]]
+
+    if use_pallas():
+        from . import shift_matmul
+        y = shift_matmul.fused_qmatmul(
+            x_q, params[node.params[0]], eff_scale, eff_bias,
+            relu=node.attrs["relu"], wfmt=node.attrs["wfmt"],
+            kshape=tuple(node.attrs["kshape"]))
+        if y is not None:
+            return y
+
+    w_q = decode_weight(node, params)
+    if _int_mode() == "int":
+        acc = jnp.dot(x_q, w_q, preferred_element_type=jnp.int32)
+    else:
+        acc = jnp.dot(x_q.astype(jnp.float32), w_q.astype(jnp.float32),
+                      preferred_element_type=jnp.float32).astype(jnp.int32)
+    return _epilogue(acc, eff_scale, eff_bias, node.attrs["relu"])
+
+
+def qadd(node: Node, params, a_q, b_q) -> jax.Array:
+    sa, sb, so = node.attrs["sa"], node.attrs["sb"], node.attrs["so"]
+    y = a_q.astype(jnp.float32) * (sa / so) + b_q.astype(jnp.float32) * (sb / so)
+    if node.attrs.get("relu"):
+        y = jnp.maximum(y, 0.0)
+    return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+
+
+def qconcat(node: Node, params, *xs) -> jax.Array:
+    so = node.attrs["out_scale"]
+    outs = []
+    for x, si in zip(xs, node.attrs["in_scales"]):
+        if abs(si - so) < 1e-12:
+            outs.append(x)
+        else:
+            y = x.astype(jnp.float32) * (si / so)
+            outs.append(jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8))
+    return jnp.concatenate(outs, axis=node.attrs.get("axis", -1))

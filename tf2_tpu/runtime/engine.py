@@ -1,0 +1,94 @@
+"""Runtime Engine — the online half (reference parity: TF2's C++/OpenCL host
+runtime, SURVEY.md §3 R6/§4.3, re-designed TPU-native per §4.4).
+
+Where the FPGA host does OpenCL init / per-layer kernel enqueue / ping-pong
+DDR buffers / PCIe DMA, here:
+- device init is PJRT (done by JAX);
+- the whole layer schedule is traced ONCE into a single jitted executable
+  (XLA owns buffer reuse, fusion, latency hiding — the ping-pong analog);
+- weights are uploaded once with NamedShardings over the ("dp","tp") mesh;
+- per-layer "kernel arg setup" becomes trace-time dispatch to Pallas
+  kernels (kernels/dispatch.py);
+- the AOT-compiled executable persists via the XLA compilation cache
+  (compile_cache.py), the analog of the prebuilt .aocx bitstream.
+"""
+from __future__ import annotations
+
+import time
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.execute import execute
+from ..graph.ir import Graph
+from ..parallel.mesh import MeshConfig, input_shardings, param_shardings
+
+
+class Engine:
+    """Executes a (quantized or fp32) IR graph on a device mesh.
+
+    >>> eng = Engine(graph, params, mesh=make_mesh(tp=1)).build()
+    >>> logits = eng(image=batch)
+    """
+
+    def __init__(self, graph: Graph, params: Mapping[str, np.ndarray],
+                 mesh: MeshConfig | None = None):
+        graph.validate()
+        self.graph = graph
+        self.mesh = mesh
+        self._fn = execute(graph)
+        if mesh is not None:
+            psh = param_shardings(graph, mesh)
+            self.params = {
+                k: jax.device_put(v, psh[k]) if k in psh else jnp.asarray(v)
+                for k, v in params.items()}
+            self._in_sh = input_shardings(graph, mesh)
+        else:
+            self.params = {k: jnp.asarray(v) for k, v in params.items()}
+            self._in_sh = {}
+        self._jfn = jax.jit(self._fn)
+        self._compiled = False
+
+    # ---- build / warmup ----
+    def build(self, **example_inputs) -> "Engine":
+        """AOT-compile with example (or zero) inputs; returns self."""
+        inputs = example_inputs or self._zero_inputs()
+        inputs = self.shard_inputs(**inputs)
+        jax.block_until_ready(self._jfn(self.params, **inputs))
+        self._compiled = True
+        return self
+
+    def _zero_inputs(self) -> dict[str, jax.Array]:
+        out = {}
+        for name, spec in self.graph.inputs.items():
+            out[name] = jnp.zeros(spec.shape, spec.dtype)
+        return out
+
+    def shard_inputs(self, **inputs) -> dict[str, jax.Array]:
+        if not self._in_sh:
+            return inputs
+        return {k: jax.device_put(v, self._in_sh[k]) if k in self._in_sh else v
+                for k, v in inputs.items()}
+
+    # ---- run ----
+    def __call__(self, **inputs):
+        return self._jfn(self.params, **self.shard_inputs(**inputs))
+
+    def run(self, **inputs):
+        return jax.block_until_ready(self(**inputs))
+
+    # ---- measurement ----
+    def benchmark(self, iters: int = 50, warmup: int = 5, **inputs) -> dict:
+        inputs = inputs or self._zero_inputs()
+        inputs = self.shard_inputs(**inputs)
+        for _ in range(warmup):
+            out = jax.block_until_ready(self._jfn(self.params, **inputs))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = jax.block_until_ready(self._jfn(self.params, **inputs))
+        dt = (time.perf_counter() - t0) / iters
+        batch = next(iter(self.graph.inputs.values())).shape[0]
+        return {"latency_s": dt, "batch": batch,
+                "throughput_per_s": batch / dt}

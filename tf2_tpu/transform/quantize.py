@@ -1,0 +1,229 @@
+"""Graph quantizer — rewrites an FP32 IR graph into a fused quantized graph.
+
+Reference parity: TF2's TransForm Kit marks requant points and emits a
+compressed graph the runtime executes with shift-add MACs (SURVEY.md §4.2).
+Here the rewrite produces fused ``qconv2d``/``qdense``/``qadd``/``qconcat``
+nodes that carry 4-bit-packed PoT codes (or per-channel int8 for first/last
+layers, the ShiftCNN accuracy recipe) plus precomputed requant vectors:
+
+    acc_i32 = conv_int8(x_q, decode(codes))
+    y_q     = clip(round(acc_i32 * eff_scale_c + eff_bias_c))      # epilogue
+    eff_scale_c = s_in * s_w_c / s_out ;  eff_bias_c = b_c / s_out
+
+Activations stay int8 through conv/pool/add/concat chains; ops with no
+integer semantics (lrn, softmax, avgpool, ...) run fp32 behind dequantize
+nodes. The epilogue algebra is exactly what the Pallas kernels fuse
+in-register (kernels/shift_conv.py), so the jnp reference path and the
+kernel path share one artifact.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Mapping
+
+import numpy as np
+
+from ..graph.ir import Graph, Node, TensorSpec
+from . import potq
+
+# ops that pass int8 through unchanged (same scale)
+_PASSTHROUGH = {"maxpool", "reshape", "flatten", "identity", "dropout",
+                "transpose", "pad"}
+
+
+@dataclasses.dataclass
+class QuantSpec:
+    """Per-model quantization policy."""
+    weight_bits: int = 4              # 4 => PoT codes; 8 => linear int8
+    first_last_w8: bool = True        # keep first/last layers at W8
+    act_estimator: str = "percentile"
+    pot_candidates: int = 33
+
+
+@dataclasses.dataclass
+class QuantizedArtifact:
+    graph: Graph
+    params: dict[str, np.ndarray]
+
+    def size_bytes(self) -> int:
+        return sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                   for v in self.params.values())
+
+
+def _fit_weight(w: np.ndarray, bits: int, spec: QuantSpec):
+    """w: (K, C). Returns (q_int8, w_scale (C,), codes_packed_or_None)."""
+    if bits == 4:
+        q, s = potq.fit_pot(w, n_candidates=spec.pot_candidates)
+        packed = potq.pack_codes(potq.pot_encode_from_int8(q))
+        return q, s, packed
+    q, s = potq.fit_int8(w)
+    return q, s, None
+
+
+def quantize_graph(graph: Graph, params: Mapping[str, np.ndarray],
+                   act_scales: Mapping[str, float],
+                   spec: QuantSpec | None = None) -> QuantizedArtifact:
+    """Rewrite ``graph`` (BN already folded) into a quantized graph.
+
+    ``act_scales`` comes from transform.calibrate on the folded graph and
+    must contain every float value name referenced here.
+    """
+    spec = spec or QuantSpec()
+    graph.validate()
+    node_map = graph.node_map()
+    consumers = graph.consumers()
+
+    first_names = {n.name for n in graph.nodes
+                   if n.op in ("conv2d", "dense") and
+                   any(i in graph.inputs for i in n.inputs)}
+    last_name = next((n.name for n in reversed(graph.nodes)
+                      if n.op in ("conv2d", "dense")), None)
+
+    new_nodes: list[Node] = []
+    new_params: dict[str, np.ndarray] = {}
+    new_specs: dict[str, TensorSpec] = {}
+    # value name (original graph) -> (value name in new graph, scale or None)
+    val: dict[str, tuple[str, float | None]] = {
+        i: (i, None) for i in graph.inputs}
+    qcache: dict[str, str] = {}   # fp value -> inserted quantize node name
+    dqcache: dict[str, str] = {}  # q8 value -> inserted dequantize node name
+    fused: set[str] = set()       # node names consumed by fusion (skip)
+
+    def add_param(name: str, arr: np.ndarray) -> str:
+        new_params[name] = arr
+        new_specs[name] = TensorSpec(tuple(arr.shape), str(arr.dtype))
+        return name
+
+    def get_q8(orig: str) -> tuple[str, float]:
+        """New-graph int8 value for original value ``orig``."""
+        nv, s = val[orig]
+        if s is not None:
+            return nv, s
+        if orig in qcache:
+            return qcache[orig], act_scales[orig] if orig in act_scales else None
+        scale = float(act_scales[orig])
+        qname = f"{orig}__q"
+        new_nodes.append(Node(qname, "quantize", (nv,), (), {"scale": scale}))
+        qcache[orig] = qname
+        return qname, scale
+
+    def get_fp(orig: str) -> str:
+        nv, s = val[orig]
+        if s is None:
+            return nv
+        if orig in dqcache:
+            return dqcache[orig]
+        dqname = f"{orig}__dq"
+        new_nodes.append(Node(dqname, "dequantize", (nv,), (), {"scale": s}))
+        dqcache[orig] = dqname
+        return dqname
+
+    def relu_fusion(node: Node) -> tuple[bool, str]:
+        """If node's sole consumer is a relu, fuse it: the emitted q-node
+        takes the relu's name so downstream references resolve."""
+        cons = consumers.get(node.name, [])
+        if len(cons) == 1 and cons[0].op == "relu" and node.name in graph.outputs:
+            return False, node.name
+        if len(cons) == 1 and cons[0].op == "relu":
+            fused.add(cons[0].name)
+            return True, cons[0].name
+        return False, node.name
+
+    for node in graph.nodes:
+        if node.name in fused:
+            continue
+
+        if node.op in ("conv2d", "dense"):
+            has_relu, out_name = relu_fusion(node)
+            xin, s_in = get_q8(node.inputs[0])
+            s_out = float(act_scales[out_name])
+            w = np.asarray(params[node.params[0]], np.float32)
+            if node.op == "conv2d":
+                kh, kw, cin_g, cout = w.shape
+                w2d = w.reshape(-1, cout)
+            else:
+                cout = w.shape[-1]
+                w2d = w
+            bits = spec.weight_bits
+            if spec.first_last_w8 and (node.name in first_names or
+                                       node.name == last_name):
+                bits = 8
+            q, w_scale, packed = _fit_weight(w2d, bits, spec)
+            b = (np.asarray(params[node.params[1]], np.float32)
+                 if len(node.params) > 1 else np.zeros((cout,), np.float32))
+            eff_scale = np.asarray(s_in * w_scale / s_out, np.float32)
+            eff_bias = np.asarray(b / s_out, np.float32)
+            p = []
+            attrs = {"relu": has_relu, "in_scale": s_in, "out_scale": s_out,
+                     "wbits": bits}
+            if packed is not None:
+                p.append(add_param(f"{out_name}.wp", packed))
+                attrs["wfmt"] = "pot4"
+            else:
+                p.append(add_param(f"{out_name}.wq", q.reshape(w.shape).astype(np.int8)
+                                   if node.op == "conv2d" else q.astype(np.int8)))
+                attrs["wfmt"] = "int8"
+            p.append(add_param(f"{out_name}.es", eff_scale))
+            p.append(add_param(f"{out_name}.eb", eff_bias))
+            if node.op == "conv2d":
+                attrs.update(strides=node.attrs.get("strides", [1, 1]),
+                             padding=node.attrs.get("padding", "SAME"),
+                             groups=node.attrs.get("groups", 1),
+                             kshape=[kh, kw, cin_g, cout])
+                new_nodes.append(Node(out_name, "qconv2d", (xin,), tuple(p), attrs))
+            else:
+                attrs["kshape"] = [w.shape[0], cout]
+                new_nodes.append(Node(out_name, "qdense", (xin,), tuple(p), attrs))
+            val[out_name] = (out_name, s_out)
+            if node.name != out_name:
+                val[node.name] = (out_name, s_out)  # pre-relu refs (shouldn't occur)
+            continue
+
+        if node.op == "add":
+            _, sa = val[node.inputs[0]]
+            _, sb = val[node.inputs[1]]
+            if sa is not None and sb is not None:
+                has_relu, out_name = relu_fusion(node)
+                s_out = float(act_scales[out_name])
+                a, _ = get_q8(node.inputs[0])
+                bq, _ = get_q8(node.inputs[1])
+                new_nodes.append(Node(out_name, "qadd", (a, bq), (),
+                                      {"sa": sa, "sb": sb, "so": s_out,
+                                       "relu": has_relu}))
+                val[out_name] = (out_name, s_out)
+                continue
+            # fall through to fp path
+
+        if node.op == "concat":
+            states = [val[i] for i in node.inputs]
+            if all(s is not None for _, s in states):
+                s_out = float(act_scales[node.name])
+                new_nodes.append(Node(node.name, "qconcat",
+                                      tuple(nv for nv, _ in states), (),
+                                      {"in_scales": [s for _, s in states],
+                                       "out_scale": s_out,
+                                       "axis": node.attrs.get("axis", -1)}))
+                val[node.name] = (node.name, s_out)
+                continue
+
+        if node.op in _PASSTHROUGH:
+            nv, s = val[node.inputs[0]]
+            new_nodes.append(Node(node.name, node.op, (nv,), node.params,
+                                  dict(node.attrs)))
+            val[node.name] = (node.name, s)
+            continue
+
+        # default: fp op — dequantize any int8 inputs, keep params
+        fp_inputs = tuple(get_fp(i) for i in node.inputs)
+        new_nodes.append(Node(node.name, node.op, fp_inputs, node.params,
+                              dict(node.attrs)))
+        for pname in node.params:
+            add_param(pname, np.asarray(params[pname]))
+        val[node.name] = (node.name, None)
+
+    outputs = tuple(get_fp(o) for o in graph.outputs)
+    g = Graph(graph.name, dict(graph.inputs), outputs, new_nodes, new_specs,
+              {**graph.meta, "quantized": True,
+               "weight_bits": spec.weight_bits})
+    g.validate()
+    return QuantizedArtifact(g, new_params)
