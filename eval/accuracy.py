@@ -1,0 +1,148 @@
+"""Accuracy harness (SURVEY.md §5.5): top-1/top-5 with a real dataset when
+one exists, golden-parity methodology otherwise (this sandbox ships no
+ImageNet and no pretrained checkpoints — SURVEY.md Appendix A).
+
+Modes:
+- ``golden``: FP32-folded vs quantized forward on identical weights over N
+  synthetic batches -> relative error, cosine, top-1 agreement. This is the
+  accuracy regression signal available today; the ≤0.5% top-1 gate binds
+  when the driver supplies real checkpoints + data.
+- ``imagenet``: directory of (image, label) .npy shards -> real top-1/top-5
+  for both FP32 and quantized graphs, reporting the delta against the gate.
+
+Usage: python -m eval.accuracy --model resnet50 --wbits 4 [--data DIR]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GATE_TOP1_DELTA = 0.5  # percent, BASELINE.json north star
+
+
+def golden_eval(model: str, wbits: int, batches: int = 4, batch: int = 8,
+                image: int = 224, classes: int = 1000, seed: int = 0) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tf2_tpu.graph import execute, init_params
+    from tf2_tpu.models import get_model
+    from tf2_tpu.transform import QuantSpec, transform_model
+
+    g = get_model(model, batch=batch, image=image, classes=classes)
+    params = init_params(g, seed=seed)
+    if model == "ssd":
+        from tf2_tpu.models.ssd import init_priors
+        params.update(init_priors(g))
+    key = jax.random.PRNGKey(seed)
+    calib = []
+    for _ in range(2):
+        key, k = jax.random.split(key)
+        calib.append({"image": jax.random.normal(k, g.inputs["image"].shape)})
+    art, fg, fp = transform_model(g, params, calib,
+                                  qspec=QuantSpec(weight_bits=wbits))
+    fp_fn = jax.jit(execute(fg))
+    q_fn = jax.jit(execute(art.graph))
+    errs, coss, agrees = [], [], []
+    for _ in range(batches):
+        key, k = jax.random.split(key)
+        x = jax.random.normal(k, g.inputs["image"].shape)
+        yf = np.asarray(fp_fn(fp, image=x))
+        yq = np.asarray(q_fn(art.params, image=x))
+        errs.append(float(np.linalg.norm(yq - yf) /
+                          (np.linalg.norm(yf) + 1e-12)))
+        coss.append(float((yf.ravel() @ yq.ravel()) /
+                          (np.linalg.norm(yf) * np.linalg.norm(yq) + 1e-12)))
+        if yf.ndim == 2:
+            agrees.append(float((yf.argmax(-1) == yq.argmax(-1)).mean()))
+    return {
+        "mode": "golden", "model": model, "wbits": wbits,
+        "rel_err_mean": sum(errs) / len(errs),
+        "cosine_mean": sum(coss) / len(coss),
+        "top1_agreement": sum(agrees) / len(agrees) if agrees else None,
+    }
+
+
+def imagenet_eval(model: str, wbits: int, data_dir: str, image: int = 224,
+                  batch: int = 32, checkpoint: str | None = None) -> dict:
+    """Real top-1/top-5. Shards: data_dir/*.npz with arrays 'image' (N,H,W,3
+    float32, preprocessed) and 'label' (N,)."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tf2_tpu.graph import execute, init_params
+    from tf2_tpu.models import get_model
+    from tf2_tpu.transform import QuantSpec, transform_model
+
+    g = get_model(model, batch=batch, image=image)
+    if checkpoint:
+        from safetensors.numpy import load_file
+        params = load_file(checkpoint)
+    else:
+        params = init_params(g, seed=0)
+    shards = sorted(glob.glob(os.path.join(data_dir, "*.npz")))
+    if not shards:
+        raise FileNotFoundError(f"no .npz shards in {data_dir}")
+    first = np.load(shards[0])
+    calib = [{"image": jnp.asarray(first["image"][:batch])}]
+    art, fg, fp = transform_model(g, params, calib,
+                                  qspec=QuantSpec(weight_bits=wbits))
+    fp_fn = jax.jit(execute(fg))
+    q_fn = jax.jit(execute(art.graph))
+
+    def run(fn, p):
+        top1 = top5 = n = 0
+        for s in shards:
+            d = np.load(s)
+            imgs, labels = d["image"], d["label"]
+            for i in range(0, len(imgs) - batch + 1, batch):
+                logits = np.asarray(fn(p, image=jnp.asarray(imgs[i:i + batch])))
+                lab = labels[i:i + batch]
+                top1 += (logits.argmax(-1) == lab).sum()
+                top5 += sum(l in t for l, t in
+                            zip(lab, np.argsort(-logits, -1)[:, :5]))
+                n += batch
+        return 100 * top1 / n, 100 * top5 / n
+
+    fp1, fp5 = run(fp_fn, fp)
+    q1, q5 = run(q_fn, art.params)
+    return {
+        "mode": "imagenet", "model": model, "wbits": wbits,
+        "fp32_top1": fp1, "fp32_top5": fp5,
+        "quant_top1": q1, "quant_top5": q5,
+        "top1_delta": fp1 - q1, "gate": GATE_TOP1_DELTA,
+        "pass": (fp1 - q1) <= GATE_TOP1_DELTA,
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="resnet50")
+    ap.add_argument("--wbits", type=int, default=4)
+    ap.add_argument("--data", default=None)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--image", type=int, default=224)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batches", type=int, default=4)
+    args = ap.parse_args(argv)
+    if args.data:
+        out = imagenet_eval(args.model, args.wbits, args.data,
+                            image=args.image, batch=args.batch,
+                            checkpoint=args.checkpoint)
+    else:
+        out = golden_eval(args.model, args.wbits, batches=args.batches,
+                          batch=args.batch, image=args.image)
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

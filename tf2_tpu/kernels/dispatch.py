@@ -109,15 +109,17 @@ def qconv2d(node: Node, params, x_q: jax.Array) -> jax.Array:
 def qdense(node: Node, params, x_q: jax.Array) -> jax.Array:
     eff_scale = params[node.params[1]]
     eff_bias = params[node.params[2]]
+    lead = x_q.shape[:-1]
 
     if use_pallas():
         from . import shift_matmul
         y = shift_matmul.fused_qmatmul(
-            x_q, params[node.params[0]], eff_scale, eff_bias,
+            x_q.reshape(-1, x_q.shape[-1]), params[node.params[0]],
+            eff_scale, eff_bias,
             relu=node.attrs["relu"], wfmt=node.attrs["wfmt"],
             kshape=tuple(node.attrs["kshape"]))
         if y is not None:
-            return y
+            return y.reshape(*lead, y.shape[-1])
 
     w_q = decode_weight(node, params)
     if _int_mode() == "int":

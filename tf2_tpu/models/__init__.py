@@ -30,7 +30,11 @@ def list_models() -> list[str]:
 from . import squeezenet as _squeezenet
 from . import resnet as _resnet
 from . import googlenet as _googlenet
+from . import ssd as _ssd
+from . import vit as _vit
 
 register("squeezenet_v1_1")(_squeezenet.build)
 register("resnet50")(_resnet.build)
 register("googlenet")(_googlenet.build)
+register("ssd")(_ssd.build)
+register("vit_b16")(_vit.build)

@@ -1,0 +1,39 @@
+"""ViT-B/16 as an IR graph (BASELINE.md config #5, stretch: extend the
+shift-quant scheme beyond CNNs — the patchify conv, QKV/out projections and
+MLP matmuls all quantize through the standard qconv2d/qdense path; attention
+itself (softmax, per-head matmuls at 197 tokens) runs fp32 behind
+dequantize, which SURVEY.md §3 P5 scopes as sufficient at 224px)."""
+from __future__ import annotations
+
+from ..graph.ir import Graph, GraphBuilder
+
+
+def build(batch: int = 1, image: int = 224, classes: int = 1000,
+             patch: int = 16, dim: int = 768, depth: int = 12,
+             heads: int = 12, mlp_ratio: int = 4) -> Graph:
+    b = GraphBuilder("vit_b16" if (dim, depth) == (768, 12) else
+                     f"vit_d{dim}x{depth}")
+    x = b.input("image", (batch, image, image, 3))
+    side = image // patch
+    t = side * side
+    x = b.conv2d(x, 3, dim, patch, stride=patch, padding="VALID",
+                 name="patch_embed")
+    x = b.reshape(x, (batch, t, dim), name="tokens")
+    b._param("pos_embed", (1, t, dim))
+    x = b.raw("bias_add", [x], ["pos_embed"], name="pos_add")
+    for i in range(depth):
+        h = b.layer_norm(x, dim, name=f"blk{i}_ln1")
+        h = b.attention(h, dim, heads, name=f"blk{i}_attn")
+        x = b.add(x, h, name=f"blk{i}_res1")
+        h = b.layer_norm(x, dim, name=f"blk{i}_ln2")
+        h = b.dense(h, dim, dim * mlp_ratio, name=f"blk{i}_mlp1")
+        h = b.gelu(h, name=f"blk{i}_gelu")
+        h = b.dense(h, dim * mlp_ratio, dim, name=f"blk{i}_mlp2")
+        x = b.add(x, h, name=f"blk{i}_res2")
+    x = b.layer_norm(x, dim, name="ln_final")
+    # mean-pool over tokens: reshape to NHWC (batch, side, side, dim) + GAP
+    x = b.reshape(x, (batch, side, side, dim), name="token_grid")
+    x = b.global_avgpool(x, name="gap")
+    logits = b.dense(x, dim, classes, name="head")
+    return b.build(logits, family="vit",
+                   flops_per_image=2 * (t * dim * dim * 4 * 3) * depth)

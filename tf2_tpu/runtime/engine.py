@@ -80,15 +80,22 @@ class Engine:
         return jax.block_until_ready(self(**inputs))
 
     # ---- measurement ----
-    def benchmark(self, iters: int = 50, warmup: int = 5, **inputs) -> dict:
+    def benchmark(self, iters: int = 20, reps: int = 3, **inputs) -> dict:
+        """Device-side timing (see runtime/timing.py: host loops +
+        block_until_ready are invalid under async dispatch)."""
+        from .timing import device_time_s, rpc_baseline_s
+
         inputs = inputs or self._zero_inputs()
         inputs = self.shard_inputs(**inputs)
-        for _ in range(warmup):
-            out = jax.block_until_ready(self._jfn(self.params, **inputs))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = jax.block_until_ready(self._jfn(self.params, **inputs))
-        dt = (time.perf_counter() - t0) / iters
+        names = list(self.graph.inputs)
+        primary = names[0]
+
+        def step(x, params):
+            return self._fn(params, **{**inputs, primary: x})
+
+        dt = device_time_s(step, (inputs[primary], self.params),
+                           carry_arg=0, iters=iters, reps=reps)
         batch = next(iter(self.graph.inputs.values())).shape[0]
         return {"latency_s": dt, "batch": batch,
-                "throughput_per_s": batch / dt}
+                "throughput_per_s": batch / dt,
+                "rpc_baseline_s": rpc_baseline_s()}

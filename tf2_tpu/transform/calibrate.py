@@ -19,6 +19,22 @@ from ..graph.execute import execute
 from ..graph.ir import Graph
 
 
+_MAX_SAMPLE = 1 << 17  # 128k elements per tensor: plenty for a percentile
+
+
+def _subsample(v: jax.Array) -> jax.Array:
+    """Strided subsample to bound percentile/sort cost on huge activations
+    (a sort over a full 2x112x112x64 map per layer made calibration the
+    pipeline bottleneck; a 128k strided sample estimates the 99.99th
+    percentile to well within the quantization step)."""
+    flat = v.astype(jnp.float32).ravel()
+    n = flat.shape[0]
+    if n <= _MAX_SAMPLE:
+        return flat
+    step = n // _MAX_SAMPLE + 1
+    return flat[::step]
+
+
 def _collect_fn(graph: Graph, reduce_fn: Callable[[jax.Array], jax.Array]):
     run = execute(graph, intermediates=True)
 
@@ -41,7 +57,7 @@ def calibrate(graph: Graph, params: dict, batches: Iterable[dict],
     if estimator == "absmax":
         red = lambda v: jnp.max(jnp.abs(v))
     elif estimator == "percentile":
-        red = lambda v: jnp.percentile(jnp.abs(v).astype(jnp.float32).ravel(), percentile)
+        red = lambda v: jnp.percentile(_subsample(jnp.abs(v)), percentile)
     elif estimator == "mse":
         red = lambda v: jnp.max(jnp.abs(v))  # pass 1: absmax
     else:

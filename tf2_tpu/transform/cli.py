@@ -34,9 +34,15 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--prune", type=float, default=0.0)
     ap.add_argument("--no-first-last-w8", action="store_true")
+    ap.add_argument("--platform", default="cpu",
+                    help="calibration platform; transform is offline tooling "
+                         "and defaults to CPU (NB: the axon sitecustomize "
+                         "overrides JAX_PLATFORMS env, so we force via config)")
     args = ap.parse_args(argv)
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from ..graph import init_params
