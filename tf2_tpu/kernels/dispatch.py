@@ -27,6 +27,9 @@ from ..transform import potq
 
 _INT_MODE: str | None = None      # None=auto, "int", "float"
 _USE_PALLAS: bool | None = None   # None=auto (TPU yes), True/False force
+# route a matmul/1x1-conv to the Pallas kernel only when its reduction dim
+# is at least this (small-K layers are HBM-bound; XLA's fusion there wins)
+_PALLAS_MIN_K: int = 0
 
 
 def set_int_mode(mode: str | None):
@@ -34,9 +37,15 @@ def set_int_mode(mode: str | None):
     _INT_MODE = mode
 
 
-def set_use_pallas(flag: bool | None):
-    global _USE_PALLAS
+def set_use_pallas(flag: bool | None, min_k: int | None = None):
+    global _USE_PALLAS, _PALLAS_MIN_K
     _USE_PALLAS = flag
+    if min_k is not None:
+        _PALLAS_MIN_K = min_k
+
+
+def pallas_min_k() -> int:
+    return _PALLAS_MIN_K
 
 
 def _int_mode() -> str:

@@ -38,11 +38,19 @@ def _decode_pot(c_i32: jax.Array) -> jax.Array:
     return jnp.where(s == 1, -mag, mag).astype(jnp.int8)
 
 
-def _qmm_pot4_kernel(x_ref, wp_ref, es_ref, eb_ref, o_ref, *, relu: bool):
-    p = wp_ref[:].astype(jnp.int32)            # (K/2, BN) packed bytes
-    w = jnp.concatenate([_decode_pot(p & 0xF),
-                         _decode_pot((p >> 4) & 0xF)], axis=0)  # (K, BN) int8
-    acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.int32)
+def _qmm_pot4_kernel(x_ref, wp_ref, es_ref, eb_ref, o_ref, wdec_ref, *,
+                     relu: bool):
+    # Grid is (n_blocks, m_blocks) with m fastest: decode this N-tile's
+    # weights ONCE (first m step) into VMEM scratch and reuse across all
+    # m blocks — decoding per (m, n) made the VPU decode dominate the MXU
+    # work (measured 3x slowdown on ResNet-50 1x1 layers).
+    @pl.when(pl.program_id(1) == 0)
+    def _decode():
+        p = wp_ref[:].astype(jnp.int32)        # (K/2, BN) packed bytes
+        wdec_ref[:] = jnp.concatenate(
+            [_decode_pot(p & 0xF), _decode_pot((p >> 4) & 0xF)], axis=0)
+
+    acc = jnp.dot(x_ref[:], wdec_ref[:], preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * es_ref[:] + eb_ref[:]
     if relu:
         y = jnp.maximum(y, 0.0)
@@ -57,9 +65,18 @@ def _qmm_int8_kernel(x_ref, w_ref, es_ref, eb_ref, o_ref, *, relu: bool):
     o_ref[:] = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
 
 
-def _block_sizes(m: int, n: int) -> tuple[int, int]:
-    bm = min(512, max(32, -(-m // 8) * 8))
-    bn = min(256, max(128, -(-n // 128) * 128))
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _block_sizes(m: int, n: int, k: int) -> tuple[int, int]:
+    """Pick (BM, BN) so grid-step count stays low (per-step overhead
+    dominates at huge-M/small-K 1x1-conv shapes) while the x-block
+    (BM x K int8) stays within a ~4MB VMEM slice for double buffering."""
+    bn = min(256, max(128, _round_up(n, 128)))
+    vmem_budget = 4 * 1024 * 1024
+    bm_cap = max(512, (vmem_budget // max(k, 1)) // 256 * 256)
+    bm = min(_round_up(m, 256) if m > 32 else 32, bm_cap, 8192)
     return bm, bn
 
 
@@ -71,20 +88,23 @@ def qmatmul_pot4(x_q: jax.Array, packed: jax.Array, eff_scale: jax.Array,
     m, k = x_q.shape
     kh2, n = packed.shape
     assert kh2 * 2 == k, f"split-half packing mismatch: K={k} rows={kh2}"
-    bm, bn = _block_sizes(m, n)
-    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
+    bm, bn = _block_sizes(m, n, k)
+    # grid order (n, m): m iterates fastest so the scratch decode for an
+    # N-tile is computed once and reused for every m block
+    grid = (pl.cdiv(n, bn), pl.cdiv(m, bm))
     return pl.pallas_call(
         functools.partial(_qmm_pot4_kernel, relu=relu),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kh2, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kh2, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((bm, bn), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((k, bn), jnp.int8)],
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k,
             bytes_accessed=m * k + kh2 * n + m * n,
@@ -100,7 +120,7 @@ def qmatmul_int8(x_q: jax.Array, w_q: jax.Array, eff_scale: jax.Array,
     """x_q (M, K) int8 · w_q (K, N) int8 -> (M, N) int8."""
     m, k = x_q.shape
     _, n = w_q.shape
-    bm, bn = _block_sizes(m, n)
+    bm, bn = _block_sizes(m, n, k)
     grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
     return pl.pallas_call(
         functools.partial(_qmm_int8_kernel, relu=relu),
@@ -125,8 +145,9 @@ def qmatmul_int8(x_q: jax.Array, w_q: jax.Array, eff_scale: jax.Array,
 def fused_qmatmul(x_q, wparam, eff_scale, eff_bias, relu: bool,
                   wfmt: str, kshape: tuple, interpret: bool = False):
     """Dispatch entry. Returns int8 (M, N) or None if unsupported shapes."""
+    from . import dispatch as _d
     m, k = x_q.shape
-    if k > _MAX_K or k % 2:
+    if k > _MAX_K or k % 2 or k < _d.pallas_min_k():
         return None
     if wfmt == "pot4":
         return qmatmul_pot4(x_q, wparam, eff_scale, eff_bias, relu=relu,

@@ -26,6 +26,52 @@ from ..graph.ir import Graph
 from ..parallel.mesh import MeshConfig, input_shardings, param_shardings
 
 
+def _predecode_fallback_weights(graph: Graph, params):
+    """Load-time weight prep (the "MXU-friendly layout" stage): qconv2d
+    nodes that the Pallas path doesn't cover (non-1x1 kernels, grouped
+    convs) fall back to XLA's int8 conv — decoding their 4-bit PoT codes
+    in-trace would re-run the decode every forward. Decode ONCE here on the
+    host; the artifact on disk stays INT4. 1x1 convs and dense layers keep
+    packed codes (their Pallas kernels decode in VMEM at MXU feed rate)."""
+    import jax as _jax
+
+    from ..graph.ir import Graph as _G, Node, TensorSpec
+    from ..kernels import dispatch as _dispatch
+    from ..transform import potq
+
+    new_nodes, new_params = [], dict(params)
+    new_specs = dict(graph.params)
+    changed = False
+    pallas_on = _dispatch.use_pallas()
+    for n in graph.nodes:
+        take = n
+        if n.op == "qconv2d" and n.attrs.get("wfmt") == "pot4":
+            kh, kw, cin_g, cout = n.attrs["kshape"]
+            covered = (pallas_on and kh == 1 and kw == 1
+                       and n.attrs.get("groups", 1) == 1
+                       and kh * kw * cin_g >= _dispatch.pallas_min_k())
+            if not covered:
+                k = kh * kw * cin_g
+                codes = potq.unpack_codes_np(np.asarray(params[n.params[0]]), k)
+                wq = potq.pot_decode_np(codes).reshape(kh, kw, cin_g, cout)
+                wq_name = n.params[0].replace(".wp", ".wq")
+                new_params[wq_name] = wq
+                new_params.pop(n.params[0], None)
+                new_specs[wq_name] = TensorSpec(wq.shape, "int8")
+                new_specs.pop(n.params[0], None)
+                attrs = dict(n.attrs, wfmt="int8")
+                take = Node(n.name, n.op, n.inputs,
+                            (wq_name,) + n.params[1:], attrs)
+                changed = True
+        new_nodes.append(take)
+    if not changed:
+        return graph, params
+    g = _G(graph.name, dict(graph.inputs), graph.outputs, new_nodes,
+           new_specs, dict(graph.meta))
+    g.validate()
+    return g, new_params
+
+
 class Engine:
     """Executes a (quantized or fp32) IR graph on a device mesh.
 
@@ -34,8 +80,10 @@ class Engine:
     """
 
     def __init__(self, graph: Graph, params: Mapping[str, np.ndarray],
-                 mesh: MeshConfig | None = None):
+                 mesh: MeshConfig | None = None, predecode: bool = True):
         graph.validate()
+        if predecode:
+            graph, params = _predecode_fallback_weights(graph, params)
         self.graph = graph
         self.mesh = mesh
         self._fn = execute(graph)

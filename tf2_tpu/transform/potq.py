@@ -149,6 +149,22 @@ def unpack_codes(packed: jax.Array, k: int) -> jax.Array:
     return out[:k].astype(jnp.uint8)
 
 
+def unpack_codes_np(packed: np.ndarray, k: int) -> np.ndarray:
+    """numpy mirror of unpack_codes (host-side weight prep)."""
+    lo = packed & 0xF
+    hi = (packed >> 4) & 0xF
+    return np.concatenate([lo, hi], axis=0)[:k].astype(np.uint8)
+
+
+def pot_decode_np(codes: np.ndarray) -> np.ndarray:
+    """numpy mirror of pot_decode (host-side weight prep)."""
+    c = codes.astype(np.int32)
+    m = c & 7
+    s = (c >> 3) & 1
+    mag = np.where(m == 0, 0, np.left_shift(1, np.maximum(m - 1, 0)))
+    return np.where(s == 1, -mag, mag).astype(np.int8)
+
+
 def quantization_snr_db(w: jax.Array, w_hat: jax.Array) -> float:
     num = jnp.sum(jnp.square(w))
     den = jnp.sum(jnp.square(w - w_hat)) + 1e-30
