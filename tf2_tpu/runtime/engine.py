@@ -34,10 +34,27 @@ def _predecode_fallback_weights(graph: Graph, params):
     host; the artifact on disk stays INT4. 1x1 convs and dense layers keep
     packed codes (their Pallas kernels decode in VMEM at MXU feed rate)."""
     import jax as _jax
+    import jax.numpy as _jnp
 
+    from ..graph.execute import execute as _execute
     from ..graph.ir import Graph as _G, Node, TensorSpec
     from ..kernels import dispatch as _dispatch
+    from ..kernels.shift_conv import pallas_covers
     from ..transform import potq
+
+    # activation shapes via abstract eval (no compute)
+    try:
+        zeros = {k: _jax.ShapeDtypeStruct(v.shape, v.dtype)
+                 for k, v in graph.inputs.items()}
+        pspecs = {k: _jax.ShapeDtypeStruct(tuple(np.asarray(v).shape),
+                                           np.asarray(v).dtype)
+                  for k, v in params.items()}
+        _, env_shapes = _jax.eval_shape(
+            lambda p, i: _execute(graph, intermediates=True)(p, **i),
+            pspecs, zeros)
+        shapes = {k: tuple(v.shape) for k, v in env_shapes.items()}
+    except Exception:
+        shapes = {}
 
     new_nodes, new_params = [], dict(params)
     new_specs = dict(graph.params)
@@ -47,9 +64,12 @@ def _predecode_fallback_weights(graph: Graph, params):
         take = n
         if n.op == "qconv2d" and n.attrs.get("wfmt") == "pot4":
             kh, kw, cin_g, cout = n.attrs["kshape"]
-            covered = (pallas_on and kh == 1 and kw == 1
-                       and n.attrs.get("groups", 1) == 1
-                       and kh * kw * cin_g >= _dispatch.pallas_min_k())
+            xshape = shapes.get(n.inputs[0])
+            h, w = (xshape[1], xshape[2]) if xshape else (224, 224)
+            covered = pallas_on and pallas_covers(
+                (kh, kw, cin_g, cout), n.attrs.get("strides", [1, 1]),
+                n.attrs.get("padding", "SAME"), n.attrs.get("groups", 1),
+                h=h, w=w)
             if not covered:
                 k = kh * kw * cin_g
                 codes = potq.unpack_codes_np(np.asarray(params[n.params[0]]), k)
