@@ -46,9 +46,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from tf2_tpu.runtime import Engine
+    from tf2_tpu.runtime import Engine, compile_cache
     from tf2_tpu.transform import load_artifact
 
+    compile_cache.enable()  # persistent XLA cache: re-runs skip compiles
     graph, params = load_artifact(ART)
     key = jax.random.PRNGKey(0)
 
@@ -56,13 +57,13 @@ def main():
     g64 = graph.with_batch_size(BATCH)
     eng = Engine(g64, params)
     x = jax.random.normal(key, g64.inputs["image"].shape, jnp.float32)
-    stats = eng.benchmark(iters=30, warmup=5, image=x)
+    stats = eng.benchmark(iters=15, reps=3, image=x)
 
     # batch-1 p50 latency
     g1 = graph.with_batch_size(1)
     eng1 = Engine(g1, params)
     x1 = x[:1]
-    lat = eng1.benchmark(iters=50, warmup=5, image=x1)
+    lat = eng1.benchmark(iters=20, reps=3, image=x1)
 
     img_s = stats["throughput_per_s"]
     result = {

@@ -246,6 +246,18 @@ def _pad(node: Node, params, x):
     return jnp.pad(x, [tuple(p) for p in node.attrs["pads"]])
 
 
+@register_op("space_to_depth")
+def _space_to_depth(node: Node, params, x):
+    """NHWC block-2 rearrange, batch-polymorphic (no hard batch dim in
+    attrs). Channel order of the output is (dy, dx, c) — the stem
+    space-to-depth pass (graph/optimize.py) packs weights to match."""
+    b_, h, w, c = x.shape
+    blk = node.attrs.get("block", 2)
+    x = x.reshape(b_, h // blk, blk, w // blk, blk, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b_, h // blk, w // blk, blk * blk * c)
+
+
 @register_op("softmax")
 def _softmax(node, params, x):
     return jax.nn.softmax(x, axis=-1)

@@ -46,6 +46,7 @@ OPS = {
     "flatten": "collapse all but batch dim",
     "transpose": "static permute",
     "pad": "static pad",
+    "space_to_depth": "NHWC 2x2 block rearrange: (H,W,C) -> (H/2,W/2,4C)",
     "softmax": "softmax over last axis",
     "dropout": "inference no-op (identity)",
     "identity": "pass-through",

@@ -1,0 +1,96 @@
+"""Load-time graph optimization passes (runtime side of the graph
+compiler, SURVEY.md §3 R5: "derive per-layer kernel parameters").
+
+space_to_depth_stem: CNN stems convolve a 3-channel image with a large
+strided kernel (ResNet-50: 7x7/s2). K = kh*kw*cin = 147 with cin = 3 maps
+terribly onto the 128-lane MXU (measured 0.58 ms of a 3.6 ms ResNet-50
+batch-64 forward — ~16% of runtime in <2% of the FLOPs). The classic fix:
+rearrange the input 2x2 space-to-depth (NHWC -> H/2, W/2, 4C) and convolve
+with the equivalent 4x4/s1 VALID kernel over 12 channels — identical math,
+MXU-friendly reduction layout.
+
+Derivation: out[oy,ox] = sum_{i,j,c} xp[2oy+i, 2ox+j, c] * w[i,j,c] with xp
+the SAME-padded image. Writing i = 2a+dy, j = 2b+dx (dy,dx in {0,1}):
+out[oy,ox] = sum_{a,b,dy,dx,c} s2d(xp)[oy+a, ox+b, (dy,dx,c)] * w[2a+dy,
+2b+dx, c] — a VALID stride-1 conv of the space-to-depth tensor with the
+7->8 zero-padded weight reshaped to (4, 4, 4*cin, cout). Padding with int8
+zeros is exact for symmetric quantization (q=0 <=> 0.0).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .ir import Graph, Node, TensorSpec
+
+
+def _same_pads(size: int, k: int, s: int) -> tuple[int, int]:
+    out = -(-size // s)
+    total = max((out - 1) * s + k - size, 0)
+    return total // 2, total - total // 2
+
+
+def space_to_depth_stem(graph: Graph, params, input_hw: tuple[int, int]
+                        ) -> tuple[Graph, dict]:
+    """Rewrite the first qconv2d stem (odd kxk, stride 2, SAME, small cin)
+    into pad + space_to_depth + VALID stride-1 qconv2d. Returns the
+    (possibly unchanged) graph and params."""
+    stem = None
+    for n in graph.nodes:
+        if n.op == "qconv2d":
+            kh, kw, cin, cout = n.attrs["kshape"]
+            sh, sw = n.attrs.get("strides", [1, 1])
+            if (sh == sw == 2 and kh == kw and kh % 2 == 1 and kh > 1
+                    and cin <= 8 and n.attrs.get("groups", 1) == 1
+                    and n.attrs.get("padding", "SAME") == "SAME"
+                    and n.attrs.get("wfmt") == "int8"):
+                stem = n
+            break  # only the first conv is a stem candidate
+    if stem is None:
+        return graph, dict(params)
+
+    kh, kw, cin, cout = stem.attrs["kshape"]
+    h, w = input_hw
+    ph0, ph1 = _same_pads(h, kh, 2)
+    pw0, pw1 = _same_pads(w, kw, 2)
+    # padded extent must be even and cover the last window
+    hp = h + ph0 + ph1
+    wp = w + pw0 + pw1
+    ph1 += hp % 2
+    pw1 += wp % 2
+
+    # weight: (kh, kw, cin, cout) -> zero-pad taps to 2*ceil(k/2), then
+    # fold (dy, dx) into channels matching the executor's s2d order
+    w_q = np.asarray(params[stem.params[0]])
+    ke = kh + (kh % 2)  # 7 -> 8
+    wpad = np.zeros((ke, ke, cin, cout), w_q.dtype)
+    wpad[:kh, :kw] = w_q
+    # (2a+dy, 2b+dx, c, o) -> (a, b, dy, dx, c, o) -> (a, b, (dy,dx,c), o)
+    w4 = (wpad.reshape(ke // 2, 2, ke // 2, 2, cin, cout)
+              .transpose(0, 2, 1, 3, 4, 5)
+              .reshape(ke // 2, ke // 2, 4 * cin, cout))
+
+    new_params = dict(params)
+    new_params[stem.params[0]] = w4
+    new_specs = dict(graph.params)
+    new_specs[stem.params[0]] = TensorSpec(w4.shape, str(w4.dtype))
+
+    pad_name = f"{stem.name}__s2d_pad"
+    s2d_name = f"{stem.name}__s2d"
+    new_nodes: list[Node] = []
+    for n in graph.nodes:
+        if n.name != stem.name:
+            new_nodes.append(n)
+            continue
+        new_nodes.append(Node(pad_name, "pad", (stem.inputs[0],), (),
+                              {"pads": [[0, 0], [ph0, ph1], [pw0, pw1],
+                                        [0, 0]]}))
+        new_nodes.append(Node(s2d_name, "space_to_depth", (pad_name,), (),
+                              {"block": 2}))
+        attrs = dict(stem.attrs, strides=[1, 1], padding="VALID",
+                     kshape=[ke // 2, ke // 2, 4 * cin, cout])
+        new_nodes.append(Node(stem.name, stem.op, (s2d_name,), stem.params,
+                              attrs))
+    g = Graph(graph.name, dict(graph.inputs), graph.outputs, new_nodes,
+              new_specs, dict(graph.meta))
+    g.validate()
+    return g, new_params

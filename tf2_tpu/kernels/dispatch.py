@@ -60,6 +60,36 @@ def use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def route_conv(xshape, kshape, strides, groups, wfmt: str) -> bool:
+    """True if this conv shape should take the Pallas kernel.
+
+    Priority: explicit set_use_pallas() override > autotuned routing table
+    (kernels/autotune.py, measured on the real chip) > default. The default
+    is XLA's native int8 conv: the 2026-08-18 v5e per-shape sweep measured
+    XLA winning every CNN-zoo conv shape (its conv+epilogue fusion is
+    already MXU-optimal), so Pallas routes only where a sweep proved a win.
+    """
+    if _USE_PALLAS is not None:
+        return _USE_PALLAS
+    if jax.default_backend() != "tpu":
+        return False
+    from . import autotune
+    r = autotune.route(autotune.conv_key(xshape, kshape, strides, groups, wfmt))
+    return r == "pallas"
+
+
+def route_dense(xshape, kshape, wfmt: str) -> bool:
+    """True if this dense shape should take the Pallas kernel (see
+    route_conv for the decision hierarchy)."""
+    if _USE_PALLAS is not None:
+        return _USE_PALLAS
+    if jax.default_backend() != "tpu":
+        return False
+    from . import autotune
+    r = autotune.route(autotune.dense_key(xshape, kshape, wfmt))
+    return r == "pallas"
+
+
 def decode_weight(node: Node, params) -> jax.Array:
     """Materialize the int8 weight tensor from the artifact params."""
     if node.attrs["wfmt"] == "pot4":
@@ -89,7 +119,8 @@ def qconv2d(node: Node, params, x_q: jax.Array) -> jax.Array:
         padding = [tuple(p) for p in padding]
     groups = node.attrs.get("groups", 1)
 
-    if use_pallas():
+    if route_conv(x_q.shape, tuple(node.attrs["kshape"]), strides, groups,
+                  node.attrs["wfmt"]):
         from . import shift_conv
         y = shift_conv.fused_qconv2d(
             x_q, params[node.params[0]], eff_scale, eff_bias,
@@ -120,7 +151,7 @@ def qdense(node: Node, params, x_q: jax.Array) -> jax.Array:
     eff_bias = params[node.params[2]]
     lead = x_q.shape[:-1]
 
-    if use_pallas():
+    if route_dense(x_q.shape, tuple(node.attrs["kshape"]), node.attrs["wfmt"]):
         from . import shift_matmul
         y = shift_matmul.fused_qmatmul(
             x_q.reshape(-1, x_q.shape[-1]), params[node.params[0]],

@@ -71,11 +71,18 @@ def _round_up(x: int, m: int) -> int:
 
 def _block_sizes(m: int, n: int, k: int) -> tuple[int, int]:
     """Pick (BM, BN) so grid-step count stays low (per-step overhead
-    dominates at huge-M/small-K 1x1-conv shapes) while the x-block
-    (BM x K int8) stays within a ~4MB VMEM slice for double buffering."""
+    dominates at huge-M/small-K 1x1-conv shapes) while the whole working
+    set fits the ~16MB scoped-VMEM limit: double-buffered x (BM*K int8)
+    and out (BM*BN int8) blocks, the f32 accumulator (BM*BN*4), the
+    double-buffered packed weights (K/2*BN) and the decode scratch (K*BN)."""
     bn = min(256, max(128, _round_up(n, 128)))
-    vmem_budget = 4 * 1024 * 1024
-    bm_cap = max(512, (vmem_budget // max(k, 1)) // 256 * 256)
+    # 8MB of the 16MB scoped-vmem limit: Mosaic's own stack/staging overhead
+    # on top of this model measured ~4MB at bm=3328/k=1024 (compile-time
+    # vmem OOM at a 12MB budget), so leave generous headroom
+    budget = 8 * 1024 * 1024
+    fixed = 2 * k * bn                    # packed (dbl) + decode scratch
+    per_bm = 2 * k + 6 * bn               # x (dbl) + out (dbl) + f32 acc
+    bm_cap = max(256, (budget - fixed) // per_bm // 256 * 256)
     bm = min(_round_up(m, 256) if m > 32 else 32, bm_cap, 8192)
     return bm, bn
 

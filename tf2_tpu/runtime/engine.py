@@ -27,53 +27,52 @@ from ..parallel.mesh import MeshConfig, input_shardings, param_shardings
 
 
 def _predecode_fallback_weights(graph: Graph, params):
-    """Load-time weight prep (the "MXU-friendly layout" stage): qconv2d
-    nodes that the Pallas path doesn't cover (non-1x1 kernels, grouped
-    convs) fall back to XLA's int8 conv — decoding their 4-bit PoT codes
-    in-trace would re-run the decode every forward. Decode ONCE here on the
-    host; the artifact on disk stays INT4. 1x1 convs and dense layers keep
-    packed codes (their Pallas kernels decode in VMEM at MXU feed rate)."""
-    import jax as _jax
-    import jax.numpy as _jnp
-
-    from ..graph.execute import execute as _execute
+    """Load-time weight prep (the "MXU-friendly layout" stage): qconv2d /
+    qdense nodes that route to XLA's native int8 lowering (per the autotuned
+    routing, kernels/dispatch.route_conv) get their 4-bit PoT codes decoded
+    ONCE here on the host — decoding in-trace would re-run every forward.
+    The artifact on disk stays INT4. Nodes routed to Pallas keep packed
+    codes (their kernels decode in VMEM at MXU feed rate)."""
     from ..graph.ir import Graph as _G, Node, TensorSpec
+    from ..graph.shapes import activation_shapes
     from ..kernels import dispatch as _dispatch
     from ..kernels.shift_conv import pallas_covers
     from ..transform import potq
 
-    # activation shapes via abstract eval (no compute)
     try:
-        zeros = {k: _jax.ShapeDtypeStruct(v.shape, v.dtype)
-                 for k, v in graph.inputs.items()}
-        pspecs = {k: _jax.ShapeDtypeStruct(tuple(np.asarray(v).shape),
-                                           np.asarray(v).dtype)
-                  for k, v in params.items()}
-        _, env_shapes = _jax.eval_shape(
-            lambda p, i: _execute(graph, intermediates=True)(p, **i),
-            pspecs, zeros)
-        shapes = {k: tuple(v.shape) for k, v in env_shapes.items()}
+        shapes = activation_shapes(graph, params)
     except Exception:
         shapes = {}
 
     new_nodes, new_params = [], dict(params)
     new_specs = dict(graph.params)
     changed = False
-    pallas_on = _dispatch.use_pallas()
     for n in graph.nodes:
         take = n
-        if n.op == "qconv2d" and n.attrs.get("wfmt") == "pot4":
-            kh, kw, cin_g, cout = n.attrs["kshape"]
+        if n.op in ("qconv2d", "qdense") and n.attrs.get("wfmt") == "pot4":
             xshape = shapes.get(n.inputs[0])
-            h, w = (xshape[1], xshape[2]) if xshape else (224, 224)
-            covered = pallas_on and pallas_covers(
-                (kh, kw, cin_g, cout), n.attrs.get("strides", [1, 1]),
-                n.attrs.get("padding", "SAME"), n.attrs.get("groups", 1),
-                h=h, w=w)
-            if not covered:
-                k = kh * kw * cin_g
-                codes = potq.unpack_codes_np(np.asarray(params[n.params[0]]), k)
-                wq = potq.pot_decode_np(codes).reshape(kh, kw, cin_g, cout)
+            if n.op == "qconv2d":
+                kh, kw, cin_g, cout = n.attrs["kshape"]
+                strides = n.attrs.get("strides", [1, 1])
+                h, w = (xshape[1], xshape[2]) if xshape else (224, 224)
+                xs = xshape or (1, h, w, cin_g)
+                keep_packed = (
+                    _dispatch.route_conv(xs, (kh, kw, cin_g, cout), strides,
+                                         n.attrs.get("groups", 1), "pot4")
+                    and pallas_covers((kh, kw, cin_g, cout), strides,
+                                      n.attrs.get("padding", "SAME"),
+                                      n.attrs.get("groups", 1), h=h, w=w))
+                kflat = kh * kw * cin_g
+                wshape = (kh, kw, cin_g, cout)
+            else:
+                kflat, cout = n.attrs["kshape"]
+                xs = xshape or (1, kflat)
+                keep_packed = _dispatch.route_dense(xs, (kflat, cout), "pot4")
+                wshape = (kflat, cout)
+            if not keep_packed:
+                codes = potq.unpack_codes_np(np.asarray(params[n.params[0]]),
+                                             kflat)
+                wq = potq.pot_decode_np(codes).reshape(wshape)
                 wq_name = n.params[0].replace(".wp", ".wq")
                 new_params[wq_name] = wq
                 new_params.pop(n.params[0], None)

@@ -44,31 +44,50 @@ def rpc_baseline_s(refresh: bool = False) -> float:
 
 
 def device_time_s(step_fn: Callable, args: tuple, carry_arg: int = 0,
-                  iters: int = 20, reps: int = 3) -> float:
+                  iters: int = 20, reps: int = 3,
+                  two_point: bool = False) -> float:
     """Per-iteration wall time of ``step_fn(*args)`` with iterations chained
     device-side. ``carry_arg`` selects which positional arg carries the
-    dependency (must be a float array)."""
+    dependency (must be a float array).
+
+    ``two_point=True`` times two scan lengths (iters and 3*iters) and uses
+    the difference, cancelling the fixed dispatch cost exactly — required
+    for sub-ms ops where the ~25 ms relay-RPC baseline's VARIANCE alone
+    swamps the signal (measured: baseline subtraction read 0.0 ms for
+    0.6 ms convs). Costs a second compile, so whole-model benchmarks (signal
+    >> noise) keep the single-scan baseline-subtraction mode."""
 
     def body(carry, _):
         a = list(args)
         a[carry_arg] = carry
         out = step_fn(*a)
         leaf = jax.tree_util.tree_leaves(out)[0]
-        eps = (leaf.ravel()[:1].astype(jnp.float32) * 1e-20).reshape(())
+        # depend on a REDUCTION of the full output: a single-element slice
+        # would let XLA dead-code-eliminate most of the op under test
+        # (measured: a sliced conv benchmark reads ~0 ms), while a sum keeps
+        # every output element live at negligible extra cost
+        eps = (jnp.sum(leaf.astype(jnp.float32)) * 1e-20).reshape(())
         return carry + eps, None
 
-    def chained(x0):
-        final, _ = lax.scan(body, x0, None, length=iters)
+    def chained(x0, length):
+        final, _ = lax.scan(body, x0, None, length=length)
         return final.ravel()[0].astype(jnp.float32)
 
-    jfn = jax.jit(chained)
     x0 = args[carry_arg]
-    float(jfn(x0))  # compile + warm
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(jfn(x0))
-        times.append(time.perf_counter() - t0)
-    total = min(times)
-    per_iter = (total - rpc_baseline_s()) / iters
+
+    def run(length) -> float:
+        jfn = jax.jit(lambda x: chained(x, length))
+        float(jfn(x0))  # compile + warm
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(jfn(x0))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    if two_point:
+        t1 = run(iters)
+        t3 = run(3 * iters)
+        return max((t3 - t1) / (2 * iters), 1e-9)
+    per_iter = (run(iters) - rpc_baseline_s()) / iters
     return max(per_iter, 1e-9)
