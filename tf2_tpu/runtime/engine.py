@@ -99,8 +99,22 @@ class Engine:
     """
 
     def __init__(self, graph: Graph, params: Mapping[str, np.ndarray],
-                 mesh: MeshConfig | None = None, predecode: bool = True):
+                 mesh: MeshConfig | None = None, predecode: bool = True,
+                 optimize: bool = False):
+        # optimize=True applies the space_to_depth stem rewrite
+        # (graph/optimize.py). Measured on v5e-1 (2026-08-19, ResNet-50
+        # b64, interleaved A/B): s2d 4.09/4.17 ms vs plain 3.66/3.57 ms —
+        # XLA's native 7x7/s2 lowering already wins, and the int8
+        # pad+space_to_depth transpose (last dim 3->12, <10% lane
+        # occupancy) costs more than the stem saves. Off by default;
+        # re-measure per platform before enabling.
         graph.validate()
+        if optimize:
+            from ..graph.optimize import space_to_depth_stem
+            spec = next(iter(graph.inputs.values()), None)
+            if spec is not None and len(spec.shape) == 4:
+                graph, params = space_to_depth_stem(
+                    graph, params, (spec.shape[1], spec.shape[2]))
         if predecode:
             graph, params = _predecode_fallback_weights(graph, params)
         self.graph = graph
