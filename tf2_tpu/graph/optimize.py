@@ -18,9 +18,13 @@ zeros is exact for symmetric quantization (q=0 <=> 0.0).
 """
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 from .ir import Graph, Node, TensorSpec
+
+log = logging.getLogger(__name__)
 
 
 def _same_pads(size: int, k: int, s: int) -> tuple[int, int]:
@@ -29,11 +33,17 @@ def _same_pads(size: int, k: int, s: int) -> tuple[int, int]:
     return total // 2, total - total // 2
 
 
-def space_to_depth_stem(graph: Graph, params, input_hw: tuple[int, int]
+def space_to_depth_stem(graph: Graph, params,
+                        input_hw: tuple[int, int] | None = None
                         ) -> tuple[Graph, dict]:
     """Rewrite the first qconv2d stem (odd kxk, stride 2, SAME, small cin)
     into pad + space_to_depth + VALID stride-1 qconv2d. Returns the
-    (possibly unchanged) graph and params."""
+    (possibly unchanged) graph and params.
+
+    Requires the stem weight in int8 (run AFTER the engine's predecode so a
+    pot4 stem has been materialized — ADVICE r1). input_hw, if omitted, is
+    derived from the stem conv's actual input via activation_shapes (the
+    graph input may not feed the stem unchanged — ADVICE r1)."""
     stem = None
     for n in graph.nodes:
         if n.op == "qconv2d":
@@ -44,11 +54,24 @@ def space_to_depth_stem(graph: Graph, params, input_hw: tuple[int, int]
                     and n.attrs.get("padding", "SAME") == "SAME"
                     and n.attrs.get("wfmt") == "int8"):
                 stem = n
+            else:
+                log.warning("space_to_depth_stem: first conv %s does not "
+                            "match the stem pattern (wfmt=%s k=%dx%d s=%dx%d"
+                            " cin=%d); rewrite skipped", n.name,
+                            n.attrs.get("wfmt"), kh, kw, sh, sw, cin)
             break  # only the first conv is a stem candidate
     if stem is None:
         return graph, dict(params)
 
     kh, kw, cin, cout = stem.attrs["kshape"]
+    if input_hw is None:
+        from .shapes import activation_shapes
+        xs = activation_shapes(graph, params)[stem.inputs[0]]
+        if len(xs) != 4:
+            log.warning("space_to_depth_stem: stem input %s is not 4D (%s); "
+                        "rewrite skipped", stem.inputs[0], xs)
+            return graph, dict(params)
+        input_hw = (xs[1], xs[2])
     h, w = input_hw
     ph0, ph1 = _same_pads(h, kh, 2)
     pw0, pw1 = _same_pads(w, kw, 2)

@@ -25,8 +25,14 @@ import json
 import os
 from typing import Mapping
 
-_TABLE: dict[str, str] | None = None
+_TABLE: dict | None = None          # {"routes": {...}, "detail": {...}}
 _TABLE_PATH: str | None = None
+_WARNED_EMPTY = False
+
+# Per-platform default tables committed with the repo: a fresh machine
+# with no ~/.cache sweep still routes measured winners (VERDICT r1 item 10
+# — round 1's kernels went dormant because routing was machine-local).
+_DEFAULTS_DIR = os.path.join(os.path.dirname(__file__), "routing_defaults")
 
 
 def table_path() -> str:
@@ -44,14 +50,29 @@ def set_table_path(path: str | None):
     _TABLE = None
 
 
-def _load() -> dict[str, str]:
+def _read_json(path: str) -> dict:
+    try:
+        with open(path) as f:
+            raw = json.load(f)
+    except (OSError, ValueError):
+        return {"routes": {}, "detail": {}}
+    if "routes" not in raw:  # legacy flat format (r1): winners + "_detail"
+        detail = raw.pop("_detail", {})
+        return {"routes": raw, "detail": detail}
+    return raw
+
+
+def _load() -> dict:
     global _TABLE
     if _TABLE is None:
-        try:
-            with open(table_path()) as f:
-                _TABLE = json.load(f)
-        except (OSError, ValueError):
-            _TABLE = {}
+        t = _read_json(table_path())
+        if not t["routes"]:
+            import jax
+            d = os.path.join(_DEFAULTS_DIR,
+                             f"routing_{jax.default_backend()}.json")
+            if os.path.exists(d):
+                t = _read_json(d)
+        _TABLE = t
     return _TABLE
 
 
@@ -63,6 +84,17 @@ def save():
     with open(tmp, "w") as f:
         json.dump(t, f, indent=0, sort_keys=True)
     os.replace(tmp, path)
+
+
+def save_defaults():
+    """Commit the current table as the repo default for this platform."""
+    import jax
+    os.makedirs(_DEFAULTS_DIR, exist_ok=True)
+    path = os.path.join(_DEFAULTS_DIR,
+                        f"routing_{jax.default_backend()}.json")
+    with open(path, "w") as f:
+        json.dump(_load(), f, indent=0, sort_keys=True)
+    return path
 
 
 def conv_key(xshape, kshape, strides, groups, wfmt: str) -> str:
@@ -81,14 +113,29 @@ def dense_key(xshape, kshape, wfmt: str) -> str:
 
 def route(key: str) -> str | None:
     """'pallas' | 'xla' | None (no measurement recorded)."""
-    return _load().get(key)
+    t = _load()
+    r = t["routes"].get(key)
+    if r is None and not t["routes"]:
+        global _WARNED_EMPTY
+        if not _WARNED_EMPTY:
+            _WARNED_EMPTY = True
+            import logging
+            logging.getLogger(__name__).warning(
+                "autotune: routing table empty (%s) — all fused ops fall "
+                "back to XLA; run kernels.autotune.tune_graph() once to "
+                "measure Pallas-vs-XLA winners on this chip", table_path())
+    return r
+
+
+def detail(key: str) -> dict | None:
+    return _load()["detail"].get(key)
 
 
 def record(key: str, winner: str, detail: dict | None = None):
     t = _load()
-    t[key] = winner
+    t["routes"][key] = winner
     if detail is not None:
-        t.setdefault("_detail", {})[key] = detail
+        t["detail"][key] = detail
 
 
 # ---- the sweep ---------------------------------------------------------------

@@ -109,14 +109,13 @@ class Engine:
         # occupancy) costs more than the stem saves. Off by default;
         # re-measure per platform before enabling.
         graph.validate()
-        if optimize:
-            from ..graph.optimize import space_to_depth_stem
-            spec = next(iter(graph.inputs.values()), None)
-            if spec is not None and len(spec.shape) == 4:
-                graph, params = space_to_depth_stem(
-                    graph, params, (spec.shape[1], spec.shape[2]))
         if predecode:
             graph, params = _predecode_fallback_weights(graph, params)
+        if optimize:
+            # after predecode: a pot4 stem is int8 by now, so the rewrite's
+            # wfmt=='int8' match actually fires on INT4 artifacts (ADVICE r1)
+            from ..graph.optimize import space_to_depth_stem
+            graph, params = space_to_depth_stem(graph, params)
         self.graph = graph
         self.mesh = mesh
         self._fn = execute(graph)
