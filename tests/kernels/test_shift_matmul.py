@@ -86,7 +86,7 @@ def test_accumulator_extremes():
 
 
 def test_fused_qconv2d_1x1():
-    from tf2_tpu.kernels import shift_conv
+    from tf2_tpu.kernels import qconv as shift_conv
     rng = np.random.RandomState(2)
     n, h, w, cin, cout = 2, 8, 8, 64, 128
     x_q = jnp.asarray(rng.randint(-127, 128, (n, h, w, cin)), jnp.int8)

@@ -121,8 +121,8 @@ def qconv2d(node: Node, params, x_q: jax.Array) -> jax.Array:
 
     if route_conv(x_q.shape, tuple(node.attrs["kshape"]), strides, groups,
                   node.attrs["wfmt"]):
-        from . import shift_conv
-        y = shift_conv.fused_qconv2d(
+        from . import qconv
+        y = qconv.fused_qconv2d(
             x_q, params[node.params[0]], eff_scale, eff_bias,
             strides=strides, padding=padding, groups=groups,
             relu=node.attrs["relu"], wfmt=node.attrs["wfmt"],

@@ -9,8 +9,7 @@ the fused requantization epilogue in-register:
 
     y_q = clip(round(acc_i32 · eff_scale_c + eff_bias_c) [, relu])  -> int8
 
-Serves qdense nodes AND all 1x1 convolutions (dispatched by shift_conv as
-implicit GEMM over the flattened spatial dims).
+Serves qdense nodes (convs, including 1x1, route to kernels/qconv.py).
 
 Grid: (M/BM, N/BN); K is kept whole per block (models here have K ≤ ~4.6k,
 so x-blocks fit VMEM comfortably and Mosaic pipelines the K-dim matmul

@@ -36,7 +36,7 @@ def _predecode_fallback_weights(graph: Graph, params):
     from ..graph.ir import Graph as _G, Node, TensorSpec
     from ..graph.shapes import activation_shapes
     from ..kernels import dispatch as _dispatch
-    from ..kernels.shift_conv import pallas_covers
+    from ..kernels.qconv import covers as qconv_covers
     from ..transform import potq
 
     try:
@@ -59,9 +59,10 @@ def _predecode_fallback_weights(graph: Graph, params):
                 keep_packed = (
                     _dispatch.route_conv(xs, (kh, kw, cin_g, cout), strides,
                                          n.attrs.get("groups", 1), "pot4")
-                    and pallas_covers((kh, kw, cin_g, cout), strides,
-                                      n.attrs.get("padding", "SAME"),
-                                      n.attrs.get("groups", 1), h=h, w=w))
+                    and qconv_covers((kh, kw, cin_g, cout), strides,
+                                     n.attrs.get("padding", "SAME"),
+                                     n.attrs.get("groups", 1), xs)
+                    and (kh * kw * cin_g) % 2 == 0)
                 kflat = kh * kw * cin_g
                 wshape = (kh, kw, cin_g, cout)
             else:

@@ -1,7 +1,12 @@
-"""One-call offline pipeline: fold BN -> calibrate -> (prune) -> quantize.
+"""One-call offline pipeline: prune -> fold BN -> calibrate -> quantize.
 
 Reference parity: the per-model TransForm CLI scripts (SURVEY.md §3 R1-R3)
 collapse to this single function + transform/cli.py.
+
+Pruning runs FIRST and physically (prune.prune_channels): the pruned graph
+has fewer channels everywhere downstream, so BN fold, calibration and
+quantization all operate on (and the artifact stores) the smaller net —
+the reference's compress-then-deploy order (SURVEY.md §3 R1).
 """
 from __future__ import annotations
 
@@ -10,7 +15,7 @@ from typing import Iterable
 from ..graph.ir import Graph
 from .calibrate import calibrate
 from .fold import fold_batch_norm
-from .prune import PruneSpec, prune_params
+from .prune import PruneSpec, prune_channels
 from .quantize import QuantSpec, QuantizedArtifact, quantize_graph
 
 
@@ -21,9 +26,9 @@ def transform_model(graph: Graph, params: dict, batches: Iterable[dict],
     """Returns (quantized artifact, folded fp graph, folded fp params).
     The folded graph/params are the golden reference for parity testing."""
     qspec = qspec or QuantSpec()
-    fg, fp = fold_batch_norm(graph, params)
     if pspec is not None and pspec.fraction > 0:
-        fp, _ = prune_params(fg, fp, pspec)
+        graph, params, _ = prune_channels(graph, params, pspec)
+    fg, fp = fold_batch_norm(graph, params)
     batches = list(batches)
     scales = calibrate(fg, fp, batches, estimator=qspec.act_estimator)
     art = quantize_graph(fg, fp, scales, qspec)

@@ -13,7 +13,7 @@ layers, the ShiftCNN accuracy recipe) plus precomputed requant vectors:
 Activations stay int8 through conv/pool/add/concat chains; ops with no
 integer semantics (lrn, softmax, avgpool, ...) run fp32 behind dequantize
 nodes. The epilogue algebra is exactly what the Pallas kernels fuse
-in-register (kernels/shift_conv.py), so the jnp reference path and the
+in-register (kernels/qconv.py), so the jnp reference path and the
 kernel path share one artifact.
 """
 from __future__ import annotations
