@@ -141,6 +141,26 @@ def _attention(node: Node, params: Params, x):
     return jnp.dot(out, wo.astype(x.dtype)) + bo.astype(x.dtype)
 
 
+@register_op("attention_core")
+def _attention_core(node: Node, params: Params, qkv):
+    """Per-head QK^T → softmax → PV on a packed (N, T, 3*dim) qkv tensor.
+    The projections live in separate dense nodes (models/vit.py) so they
+    quantize via qdense; this core quantizes via qattention_core."""
+    heads = node.attrs["heads"]
+    dim = node.attrs["dim"]
+    hd = dim // heads
+    n, t, _ = qkv.shape
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(n, t, heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(n, t, heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(n, t, heads, hd).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("nhqd,nhkd->nhqk", q, k,
+                        preferred_element_type=jnp.float32) / jnp.sqrt(hd)
+    probs = jax.nn.softmax(logits, axis=-1).astype(qkv.dtype)
+    out = jnp.einsum("nhqk,nhkd->nhqd", probs, v)
+    return out.transpose(0, 2, 1, 3).reshape(n, t, dim).astype(qkv.dtype)
+
+
 @register_op("bias_add")
 def _bias_add(node: Node, params: Params, x):
     return x + params[node.params[0]].astype(x.dtype)

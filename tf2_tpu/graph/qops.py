@@ -41,6 +41,11 @@ def _qdense(node, params, x):
     return dispatch.qdense(node, params, x)
 
 
+@register_op("qattention_core")
+def _qattention_core(node, params, qkv):
+    return dispatch.qattention_core(node, params, qkv)
+
+
 @register_op("qadd")
 def _qadd(node, params, a, b):
     return dispatch.qadd(node, params, a, b)

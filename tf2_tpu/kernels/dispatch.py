@@ -170,6 +170,60 @@ def qdense(node: Node, params, x_q: jax.Array) -> jax.Array:
     return _epilogue(acc, eff_scale, eff_bias, node.attrs["relu"])
 
 
+def qattention_core(node: Node, params, qkv_q: jax.Array) -> jax.Array:
+    """Fused INT8 attention (SURVEY.md §6.7): int8 QK^T on the MXU, fp32
+    softmax, probs requantized to unsigned-int8 range at fixed scale 1/127,
+    int8 PV, epilogue requant to s_out. Exact-int32 accumulation both
+    matmuls; reference path here, Pallas kernel in kernels/qattention.py."""
+    heads, dim = node.attrs["heads"], node.attrs["dim"]
+    s_in, s_out = node.attrs["s_in"], node.attrs["s_out"]
+    n, t, _ = qkv_q.shape
+    hd = dim // heads
+
+    if _route_attn(qkv_q.shape, heads, dim):
+        from . import qattention
+        y = qattention.fused_qattention(qkv_q, heads=heads, dim=dim,
+                                        s_in=s_in, s_out=s_out)
+        if y is not None:
+            return y
+
+    q, k, v = jnp.split(qkv_q, 3, axis=-1)
+    q = q.reshape(n, t, heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(n, t, heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(n, t, heads, hd).transpose(0, 2, 1, 3)
+    if _int_mode() == "int":
+        logits = jnp.einsum("nhqd,nhkd->nhqk", q, k,
+                            preferred_element_type=jnp.int32)
+        logits = logits.astype(jnp.float32)
+    else:
+        logits = jnp.einsum("nhqd,nhkd->nhqk", q.astype(jnp.float32),
+                            k.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+    logits = logits * (s_in * s_in / jnp.sqrt(jnp.float32(hd)))
+    probs = jax.nn.softmax(logits, axis=-1)
+    p_q = jnp.round(probs * 127.0).astype(jnp.int8)  # [0,1] -> [0,127]
+    if _int_mode() == "int":
+        acc = jnp.einsum("nhqk,nhkd->nhqd", p_q, v,
+                         preferred_element_type=jnp.int32)
+    else:
+        acc = jnp.einsum("nhqk,nhkd->nhqd", p_q.astype(jnp.float32),
+                         v.astype(jnp.float32),
+                         preferred_element_type=jnp.float32).astype(jnp.int32)
+    y = acc.astype(jnp.float32) * (s_in / (127.0 * s_out))
+    y_q = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+    return y_q.transpose(0, 2, 1, 3).reshape(n, t, dim)
+
+
+def _route_attn(qkv_shape, heads: int, dim: int) -> bool:
+    if _USE_PALLAS is not None:
+        return _USE_PALLAS
+    if jax.default_backend() != "tpu":
+        return False
+    from . import autotune
+    n, t, _ = qkv_shape
+    return autotune.route(f"attn:b{n}:t{t}:h{heads}:d{dim}") == "pallas"
+
+
 def qadd(node: Node, params, a_q, b_q) -> jax.Array:
     sa, sb, so = node.attrs["sa"], node.attrs["sb"], node.attrs["so"]
     y = a_q.astype(jnp.float32) * (sa / so) + b_q.astype(jnp.float32) * (sb / so)

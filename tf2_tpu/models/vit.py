@@ -1,8 +1,9 @@
 """ViT-B/16 as an IR graph (BASELINE.md config #5, stretch: extend the
-shift-quant scheme beyond CNNs — the patchify conv, QKV/out projections and
-MLP matmuls all quantize through the standard qconv2d/qdense path; attention
-itself (softmax, per-head matmuls at 197 tokens) runs fp32 behind
-dequantize, which SURVEY.md §3 P5 scopes as sufficient at 224px)."""
+shift-quant scheme beyond CNNs). Attention is built DECOMPOSED — a qkv
+dense, an ``attention_core`` node (per-head QK^T/softmax/PV), and an output
+projection dense — so the two projections quantize through the standard
+qdense path and the core quantizes to int8 QK^T / int8 PV with fp32 softmax
+(``qattention_core``, SURVEY.md §6.7's fused INT8 attention)."""
 from __future__ import annotations
 
 from ..graph.ir import Graph, GraphBuilder
@@ -23,7 +24,10 @@ def build(batch: int = 1, image: int = 224, classes: int = 1000,
     x = b.raw("bias_add", [x], ["pos_embed"], name="pos_add")
     for i in range(depth):
         h = b.layer_norm(x, dim, name=f"blk{i}_ln1")
-        h = b.attention(h, dim, heads, name=f"blk{i}_attn")
+        h = b.dense(h, dim, 3 * dim, name=f"blk{i}_qkv")
+        h = b.raw("attention_core", [h], name=f"blk{i}_attn",
+                  heads=heads, dim=dim)
+        h = b.dense(h, dim, dim, name=f"blk{i}_proj")
         x = b.add(x, h, name=f"blk{i}_res1")
         h = b.layer_norm(x, dim, name=f"blk{i}_ln2")
         h = b.dense(h, dim, dim * mlp_ratio, name=f"blk{i}_mlp1")

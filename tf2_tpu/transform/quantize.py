@@ -206,6 +206,23 @@ def quantize_graph(graph: Graph, params: Mapping[str, np.ndarray],
                 val[node.name] = (node.name, s_out)
                 continue
 
+        if node.op == "attention_core":
+            nv, s_in = val[node.inputs[0]]
+            if s_in is not None:
+                # int8 QK^T and int8 PV with fp32 softmax between
+                # (SURVEY.md §6.7). Probs are quantized at the fixed scale
+                # 1/127 (softmax output ∈ [0,1]); only calibrated
+                # graph-value scales are needed — s_in is the qkv dense's
+                # output scale, s_out this node's calibrated scale.
+                s_out = float(act_scales[node.name])
+                new_nodes.append(Node(node.name, "qattention_core", (nv,), (),
+                                      {"heads": node.attrs["heads"],
+                                       "dim": node.attrs["dim"],
+                                       "s_in": s_in, "s_out": s_out}))
+                val[node.name] = (node.name, s_out)
+                continue
+            # fp input: fall through to the default fp path
+
         if node.op in _PASSTHROUGH:
             nv, s = val[node.inputs[0]]
             new_nodes.append(Node(node.name, node.op, (nv,), node.params,
