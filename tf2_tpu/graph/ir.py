@@ -53,6 +53,8 @@ OPS = {
     # attention (ViT stretch)
     "layer_norm": "layer normalization over last axis",
     "attention": "multi-head self-attention",
+    "attention_core": "per-head QK^T/softmax/PV on a packed qkv tensor",
+    "qattention_core": "fused int8 attention core (int8 QK^T/PV, fp32 softmax)",
     # detection head
     "box_decode": "SSD prior-box decode",
     "nms": "non-maximum suppression",
