@@ -55,13 +55,19 @@ def main():
     s2 = run_sim(2)
     from tf2_tpu.serve.multihost import scaling_efficiency
     eff = scaling_efficiency(s1["img_s"], s2["img_s"], 2)
+    eff_local = scaling_efficiency(s1["img_s_local"], s2["img_s_local"], 2)
     result = {
         "sim": "cpu-loopback 2 virtual devices/host, lockstep protocol",
         "img_s_1host": round(s1["img_s"], 2),
         "img_s_2host": round(s2["img_s"], 2),
         "scaling_efficiency_2host_sim": round(eff, 3),
+        "img_s_1host_shard_local": round(s1["img_s_local"], 2),
+        "img_s_2host_shard_local": round(s2["img_s_local"], 2),
+        "scaling_efficiency_2host_shard_local_sim": round(eff_local, 3),
         "note": "protocol overhead sim only; the >=85% gate is for real "
-                "2-host v5e (BASELINE.md §1)",
+                "2-host v5e (BASELINE.md §1). shard_local = descriptor-only "
+                "broadcast, per-host feeds, no output gather (VERDICT r2 "
+                "item 5's scaling configuration)",
     }
     out = os.path.join(REPO, "MULTIHOST_SIM.json")
     with open(out, "w") as f:

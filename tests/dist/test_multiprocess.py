@@ -18,6 +18,7 @@ import pytest
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 WORKER = os.path.join(os.path.dirname(__file__), "mh_worker.py")
+KILL_WORKER = os.path.join(os.path.dirname(__file__), "mh_kill_worker.py")
 
 
 def _free_port() -> int:
@@ -69,3 +70,49 @@ def test_two_process_lockstep_parity(tmp_path):
         np.testing.assert_array_equal(
             got, expected,
             err_msg=f"{key}: multi-host output diverged from single-process")
+
+    # shard-local data plane parity: hosts fed their own rows (no batch
+    # broadcast); gathered output must still match the single-process ref
+    local_batch = rng.standard_normal(
+        (8,) + art.graph.inputs["image"].shape[1:]).astype(np.float32)
+    expected = np.asarray(eng.run(image=local_batch))
+    np.testing.assert_array_equal(
+        res["out_local"], expected,
+        err_msg="shard-local step diverged from single-process")
+    # gather=False: coordinator keeps only its own rows (first half)
+    per = stats["local_batch"]
+    np.testing.assert_array_equal(
+        res["out_own"], expected[:per],
+        err_msg="gather=False local rows diverged")
+    assert stats["img_s_local"] > 0
+
+
+def test_host_kill_midstream_drains_batcher(tmp_path):
+    """SURVEY.md §6.3 fault injection: one host process dies between
+    lockstep steps; the coordinator's continuous batcher must surface the
+    failure to every in-flight request (drain with errors) instead of
+    wedging the serving loop."""
+    port = _free_port()
+    env_extra = {}
+    procs = []
+    for i in range(2):
+        env = dict(os.environ, **env_extra)
+        env.pop("XLA_FLAGS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        procs.append(subprocess.Popen(
+            [sys.executable, KILL_WORKER, str(i), "2", str(port),
+             str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+        assert p.returncode == 0, f"process failed:\n{out[-3000:]}"
+
+    verdict = json.loads((tmp_path / "verdict.json").read_text())
+    assert verdict["batch1_ok"], "healthy step failed before injection"
+    assert verdict["all_errored"], (
+        "batcher wedged or returned results after host death: "
+        f"{verdict['batch2_errors']}")

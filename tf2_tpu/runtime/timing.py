@@ -171,6 +171,14 @@ def device_time_checked(step_fn: Callable, args: tuple, carry_arg: int = 0,
 
     noise = noise_floor_s()
     n = max(8, iters)
+    if floor_s is not None and floor_s > 0:
+        # seed the scan length from the physics floor: the op can't be
+        # faster than floor_s, so this N meets the signal budget in one
+        # shot for a floor-speed op and avoids compile-heavy doubling
+        # (each scan length is a fresh XLA program; compiles dominate
+        # sweep cost under the relay)
+        n = min(max(n, int(signal_ratio * noise / (2 * floor_s)) + 1),
+                max_iters)
     while True:
         t1 = run(n)
         t3 = run(3 * n)
