@@ -1,9 +1,14 @@
-"""Checkpoint importers (SURVEY.md §3 R3): map source-framework state dicts
-onto this engine's param names.
+"""Checkpoint importers (SURVEY.md §3 R3: the reference's TransForm Kit
+ingests Caffe / TensorFlow / PyTorch checkpoints): map source-framework
+state dicts onto this engine's param names.
 
 Supported sources:
-- torchvision-style ResNet-50 state dicts (``conv1.weight``, ``layerX.Y.*``,
-  OIHW conv layout, (out,in) linear layout);
+- torchvision-style ResNet-50, SqueezeNet-1.1 and GoogLeNet state dicts
+  (OIHW conv layout, (out,in) linear layout; GoogLeNet's BatchNorms are
+  folded into conv weights at import since the IR graph follows the
+  original bias-only architecture);
+- Keras-applications ResNet50 weight dicts (``conv1_conv/kernel`` naming,
+  HWIO conv layout — the TF-side ingestion path);
 - generic flat numpy/safetensors dicts that already use our names.
 
 No pretrained files ship in this sandbox; importers are exercised against
@@ -61,6 +66,140 @@ def import_torchvision_resnet50(state: Mapping, graph: Graph) -> dict:
                 put_bn(f"{src}.downsample.1", f"{dst}_down_bn")
     out["fc.w"] = _np(state["fc.weight"]).T
     out["fc.b"] = _np(state["fc.bias"])
+
+    _check_against_graph(out, graph)
+    return out
+
+
+def import_torchvision_squeezenet1_1(state: Mapping, graph: Graph) -> dict:
+    """torchvision squeezenet1_1 state_dict -> params for
+    models/squeezenet.build().
+
+    Name map: features.0 -> conv1; fire modules features.[3,4,6,7,9,10,
+    11,12] -> fire2..fire9 (squeeze/expand1x1/expand3x3 ->
+    _squeeze/_e1x1/_e3x3); classifier.1 -> conv10.
+    """
+    out: dict[str, np.ndarray] = {}
+
+    def put(src: str, dst: str):
+        out[f"{dst}.w"] = conv_oihw_to_hwio(state[f"{src}.weight"])
+        out[f"{dst}.b"] = _np(state[f"{src}.bias"])
+
+    put("features.0", "conv1")
+    for fire_idx, feat_idx in zip(range(2, 10), (3, 4, 6, 7, 9, 10, 11, 12)):
+        put(f"features.{feat_idx}.squeeze", f"fire{fire_idx}_squeeze")
+        put(f"features.{feat_idx}.expand1x1", f"fire{fire_idx}_e1x1")
+        put(f"features.{feat_idx}.expand3x3", f"fire{fire_idx}_e3x3")
+    put("classifier.1", "conv10")
+
+    _check_against_graph(out, graph)
+    return out
+
+
+def _fold_bn_into_conv(w_oihw, gamma, beta, mean, var,
+                       eps: float = 1e-3) -> tuple[np.ndarray, np.ndarray]:
+    """conv(+no bias) followed by BN == conv with scaled weights + bias:
+    w'_o = w_o * g_o / sqrt(var_o + eps); b'_o = beta_o - g_o*mean_o/sqrt.
+    Used when the source checkpoint is a BN variant of an architecture our
+    IR models with plain biased convs (torchvision GoogLeNet)."""
+    g = _np(gamma).astype(np.float64)
+    s = g / np.sqrt(_np(var).astype(np.float64) + eps)
+    w = _np(w_oihw).astype(np.float64) * s[:, None, None, None]
+    b = _np(beta).astype(np.float64) - s * _np(mean).astype(np.float64)
+    return w.astype(np.float32), b.astype(np.float32)
+
+
+def _pad_kernel_center(w_oihw: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    """Zero-pad a smaller conv kernel to (kh, kw) centered — numerically
+    identical under SAME padding (zero taps contribute nothing). Needed
+    for torchvision GoogLeNet's branch3, which ships 3x3 kernels where the
+    paper (and our IR) has 5x5."""
+    o, i, h, w = w_oihw.shape
+    if (h, w) == (kh, kw):
+        return w_oihw
+    ph, pw = (kh - h) // 2, (kw - w) // 2
+    out = np.zeros((o, i, kh, kw), w_oihw.dtype)
+    out[:, :, ph:ph + h, pw:pw + w] = w_oihw
+    return out
+
+
+def import_torchvision_googlenet(state: Mapping, graph: Graph) -> dict:
+    """torchvision googlenet state_dict -> params for
+    models/googlenet.build().
+
+    torchvision's GoogLeNet is the BN variant (BasicConv2d = conv+BN, no
+    bias); our IR follows the original biased-conv architecture, so every
+    BN is folded into its conv here. Name map: conv1 -> conv1, conv2 ->
+    conv2r, conv3 -> conv2, inception{blk}.branch1 -> inc{blk}_1x1,
+    branch2.0/1 -> _3x3r/_3x3, branch3.0/1 -> _5x5r/_5x5 (3x3 kernels
+    zero-padded to 5x5), branch4.1 -> _proj, fc -> fc.
+    """
+    out: dict[str, np.ndarray] = {}
+
+    def put(src: str, dst: str, pad_to: tuple | None = None):
+        w, b = _fold_bn_into_conv(
+            state[f"{src}.conv.weight"], state[f"{src}.bn.weight"],
+            state[f"{src}.bn.bias"], state[f"{src}.bn.running_mean"],
+            state[f"{src}.bn.running_var"])
+        if pad_to is not None:
+            w = _pad_kernel_center(w, *pad_to)
+        out[f"{dst}.w"] = w.transpose(2, 3, 1, 0)
+        out[f"{dst}.b"] = b
+
+    put("conv1", "conv1")
+    put("conv2", "conv2r")
+    put("conv3", "conv2")
+    for blk in ("3a", "3b", "4a", "4b", "4c", "4d", "4e", "5a", "5b"):
+        src = f"inception{blk}"
+        put(f"{src}.branch1", f"inc{blk}_1x1")
+        put(f"{src}.branch2.0", f"inc{blk}_3x3r")
+        put(f"{src}.branch2.1", f"inc{blk}_3x3")
+        put(f"{src}.branch3.0", f"inc{blk}_5x5r")
+        put(f"{src}.branch3.1", f"inc{blk}_5x5", pad_to=(5, 5))
+        put(f"{src}.branch4.1", f"inc{blk}_proj")
+    out["fc.w"] = _np(state["fc.weight"]).T
+    out["fc.b"] = _np(state["fc.bias"])
+
+    _check_against_graph(out, graph)
+    return out
+
+
+def import_keras_resnet50(weights: Mapping, graph: Graph) -> dict:
+    """Keras-applications ResNet50 weights -> params for
+    models/resnet.build() — the TF-side ingestion path (SURVEY.md §3 R3).
+
+    ``weights`` is a flat dict keyed ``"<layer>/<variable>"`` (the natural
+    flattening of an .h5/SavedModel checkpoint): ``conv1_conv/kernel``,
+    ``conv2_block1_1_bn/gamma`` ... Keras convs are already HWIO and
+    denses (in, out) — no transposes. Keras ResNet50 convs carry biases
+    while ours are bias-free + BN: the conv bias is folded into the BN
+    running mean (BN(x + b): mean' = mean - b, exact).
+    """
+    out: dict[str, np.ndarray] = {}
+
+    def put_pair(src: str, dst: str):
+        out[f"{dst}.w"] = _np(weights[f"{src}_conv/kernel"])
+        bias = weights.get(f"{src}_conv/bias")
+        out[f"{dst}_bn.scale"] = _np(weights[f"{src}_bn/gamma"])
+        out[f"{dst}_bn.offset"] = _np(weights[f"{src}_bn/beta"])
+        mean = _np(weights[f"{src}_bn/moving_mean"])
+        if bias is not None:
+            mean = mean - _np(bias)
+        out[f"{dst}_bn.mean"] = mean
+        out[f"{dst}_bn.var"] = _np(weights[f"{src}_bn/moving_variance"])
+
+    put_pair("conv1", "conv1")
+    depths = (3, 4, 6, 3)
+    for s, blocks in enumerate(depths):
+        for i in range(blocks):
+            src = f"conv{s + 2}_block{i + 1}"
+            dst = f"s{s + 1}b{i}"
+            for j in (1, 2, 3):
+                put_pair(f"{src}_{j}", f"{dst}_c{j}")
+            if f"{src}_0_conv/kernel" in weights:
+                put_pair(f"{src}_0", f"{dst}_down")
+    out["fc.w"] = _np(weights["predictions/kernel"])
+    out["fc.b"] = _np(weights["predictions/bias"])
 
     _check_against_graph(out, graph)
     return out
