@@ -42,6 +42,45 @@ def check_finite(graph: Graph, params, **inputs) -> str | None:
     return None
 
 
+def compare_shardings(graph: Graph, params, cfg, atol_quanta: int = 1,
+                      min_exact: float = 0.99, **inputs) -> list[dict]:
+    """Per-node TP-partitioning divergence localization (VERDICT r2
+    item 9's tight gate).
+
+    End-to-end sharded-vs-replicated comparisons amplify: one legitimate
+    1-ulp FMA difference in an early requant flips an int8 value, which
+    then shifts downstream accumulations by whole weights. So each node is
+    compared TEACHER-FORCED: both executions see the reference env's exact
+    inputs, isolating the node's own partitioning divergence, which must
+    be <= ``atol_quanta`` everywhere and bit-exact on >= ``min_exact`` of
+    elements. Returns the offending nodes (empty = gate passed).
+    """
+    from ..graph.execute import _OP_IMPLS
+    from ..parallel.mesh import param_shardings
+
+    ref_params = {k: jnp.asarray(v) for k, v in params.items()}
+    _, env = execute(graph, intermediates=True)(ref_params, **inputs)
+    env.update(inputs)
+    psh = param_shardings(graph, cfg)
+    sh_params = {k: jax.device_put(jnp.asarray(v), psh[k])
+                 for k, v in params.items()}
+    findings = []
+    for node in graph.nodes:
+        ref_out = np.asarray(env[node.name])
+        if ref_out.dtype != np.int8:
+            continue
+        args = [jax.device_put(jnp.asarray(env[i]), cfg.replicated())
+                for i in node.inputs]
+        got = np.asarray(_OP_IMPLS[node.op](node, sh_params, *args))
+        diff = np.abs(ref_out.astype(np.int32) - got.astype(np.int32))
+        exact = float((diff == 0).mean())
+        if diff.max() > atol_quanta or exact < min_exact:
+            findings.append({"node": node.name, "op": node.op,
+                             "max_quanta": int(diff.max()),
+                             "exact_frac": exact})
+    return findings
+
+
 def compare_backends(graph: Graph, params, atol_quanta: float = 1.5,
                      **inputs) -> list[dict]:
     """Execute with Pallas dispatch vs XLA reference dispatch; report nodes
