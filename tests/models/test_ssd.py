@@ -95,3 +95,31 @@ def test_ssd_quantizes():
     out = execute(art.graph)(art.params, image=batches[0]["image"])
     assert out.shape == (1, 100, 6)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_detection_map_smoke():
+    """SURVEY.md §5.5's detection-mAP smoke: quantized SSD scored against
+    the FP32 model's own detections (synthetic golden truth)."""
+    import sys, os
+    sys.path.insert(0, os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..")))
+    from eval.accuracy import detection_eval
+
+    r = detection_eval(wbits=8, batches=1, batch=1, image=128, classes=6)
+    assert r["n_image_class_pairs"] > 0, "no detections above threshold"
+    # W8 quantization must preserve detector behavior closely
+    assert r["map50_vs_fp32"] > 0.6, r
+
+
+def test_average_precision_units():
+    import numpy as np
+    from eval.accuracy import _average_precision
+    gt = np.array([[0.1, 0.1, 0.4, 0.4]])
+    perfect = np.array([[0.1, 0.1, 0.4, 0.4, 0.9]])
+    assert _average_precision(gt, perfect) == 1.0
+    miss = np.array([[0.6, 0.6, 0.9, 0.9, 0.9]])
+    assert _average_precision(gt, miss) == 0.0
+    # duplicate detections: second is a false positive, AP stays 1.0 up to
+    # full recall then the envelope keeps it at 1.0 -> AP 1.0; scored first
+    dup = np.array([[0.1, 0.1, 0.4, 0.4, 0.9], [0.1, 0.1, 0.4, 0.4, 0.8]])
+    assert _average_precision(gt, dup) == 1.0

@@ -50,7 +50,10 @@ def execute(graph: Graph, intermediates: bool = False):
             if impl is None:
                 raise NotImplementedError(f"op {node.op!r} has no executor")
             args = [env[i] for i in node.inputs]
-            env[node.name] = impl(node, params, *args)
+            # per-node profiler annotation (SURVEY.md §6.1): jax.profiler
+            # traces attribute device time to "<op>:<node>" scopes
+            with jax.named_scope(f"{node.op}:{node.name}"):
+                env[node.name] = impl(node, params, *args)
         outs = tuple(env[o] for o in graph.outputs)
         result = outs[0] if len(outs) == 1 else outs
         if intermediates:
