@@ -35,39 +35,63 @@ def ensure_artifact(model: str, wbits: int, image: int) -> str:
     return art
 
 
+# The 5 driver-mandated configs (BASELINE.md §2): model -> (wbits, image)
+BASELINE_CONFIGS = {
+    "squeezenet_v1_1": (8, 224),
+    "googlenet": (4, 224),
+    "resnet50": (4, 224),
+    "ssd": (4, 256),
+    "vit_b16": (8, 224),
+}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--models", default="resnet50,squeezenet_v1_1,googlenet")
+    ap.add_argument("--models", default=",".join(BASELINE_CONFIGS))
     ap.add_argument("--batches", default="1,64")
-    ap.add_argument("--wbits", type=int, default=4)
-    ap.add_argument("--image", type=int, default=224)
+    ap.add_argument("--wbits", type=int, default=None,
+                    help="override; default per BASELINE_CONFIGS")
+    ap.add_argument("--image", type=int, default=None)
+    ap.add_argument("--out", default=None,
+                    help="append JSON lines to this file as well")
     args = ap.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
-    from tf2_tpu.runtime import Engine
+    from tf2_tpu.runtime import Engine, compile_cache
     from tf2_tpu.transform import load_artifact
     from bench.roofline import analyze
 
+    compile_cache.enable()
+    rows = []
     for model in args.models.split(","):
-        art = ensure_artifact(model, args.wbits, args.image)
+        wbits, image = BASELINE_CONFIGS.get(model, (4, 224))
+        wbits = args.wbits or wbits
+        image = args.image or image
+        art = ensure_artifact(model, wbits, image)
         graph, params = load_artifact(art)
         for b in (int(x) for x in args.batches.split(",")):
             g = graph.with_batch_size(b)
             eng = Engine(g, params)
             x = jax.random.normal(jax.random.PRNGKey(0),
                                   g.inputs["image"].shape, jnp.float32)
-            stats = eng.benchmark(iters=10, reps=2, image=x)
+            stats = eng.benchmark(iters=10, reps=3, image=x)
             roof = analyze(g)
-            print(json.dumps({
-                "model": model, "batch": b, "wbits": args.wbits,
+            row = {
+                "model": model, "batch": b, "wbits": wbits, "image": image,
                 "img_per_s": round(stats["throughput_per_s"], 1),
                 "ms_per_batch": round(stats["latency_s"] * 1e3, 3),
                 "sol_ms": round(roof["sol_ms"], 3),
                 "sol_fraction": round(roof["sol_ms"] / (stats["latency_s"] * 1e3), 3),
                 "bound": roof["bound"],
-            }), flush=True)
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    if args.out:
+        with open(args.out, "a") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
     return 0
 
 

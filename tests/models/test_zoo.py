@@ -47,3 +47,23 @@ def test_intermediates_tap():
     x = jnp.ones(g.inputs["image"].shape, jnp.float32)
     out, env = execute(g, intermediates=True)(params, image=x)
     assert "conv1" in env and env["conv1"].ndim == 4
+
+
+def test_with_batch_size_rewrites_reshapes():
+    """SSD/ViT reshape nodes carry static batch dims; with_batch_size must
+    rewrite them (regression: batch-resized SSD crashed at execute)."""
+    import jax.numpy as jnp
+    from tf2_tpu.graph import execute, init_params
+    from tf2_tpu.models import get_model
+    from tf2_tpu.models.ssd import init_priors
+
+    g = get_model("ssd", batch=2, image=128, classes=6).with_batch_size(3)
+    p = init_params(g)
+    p.update(init_priors(g))
+    out = execute(g)(p, image=jnp.ones(g.inputs["image"].shape))
+    assert out.shape[0] == 3
+
+    g = get_model("vit_b16", batch=1, image=32, dim=64, depth=1, heads=2,
+                  patch=16).with_batch_size(2)
+    out = execute(g)(init_params(g), image=jnp.ones(g.inputs["image"].shape))
+    assert out.shape == (2, 1000)

@@ -158,14 +158,22 @@ class Graph:
                 raise ValueError(f"graph output {o!r} undefined")
 
     def with_batch_size(self, batch: int) -> "Graph":
-        """Same graph at a different leading batch dim (ops here are
-        batch-polymorphic; reshape attrs would need care but model builders
-        use flatten, which is batch-agnostic)."""
+        """Same graph at a different leading batch dim. Most ops are
+        batch-polymorphic; ``reshape`` nodes carry static shapes whose
+        leading dim is the batch (SSD head flatten, ViT tokenization), so
+        any reshape attr whose first entry equals the old batch is
+        rewritten to the new one."""
+        old_batch = next(iter(self.inputs.values())).shape[0]
         new_inputs = {k: TensorSpec((batch,) + v.shape[1:], v.dtype)
                       for k, v in self.inputs.items()}
-        g = Graph(self.name, new_inputs, self.outputs,
-                  [Node(n.name, n.op, n.inputs, n.params, dict(n.attrs))
-                   for n in self.nodes],
+        nodes = []
+        for n in self.nodes:
+            attrs = dict(n.attrs)
+            if (n.op == "reshape" and attrs.get("shape")
+                    and attrs["shape"][0] == old_batch):
+                attrs["shape"] = [batch] + list(attrs["shape"][1:])
+            nodes.append(Node(n.name, n.op, n.inputs, n.params, attrs))
+        g = Graph(self.name, new_inputs, self.outputs, nodes,
                   dict(self.params), dict(self.meta))
         g.validate()
         return g

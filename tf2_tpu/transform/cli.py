@@ -50,6 +50,8 @@ def main(argv=None) -> int:
     from . import (PruneSpec, QuantSpec, save_quantized, transform_model)
 
     t0 = time.time()
+    if args.model == "ssd" and args.classes == 1000:
+        args.classes = 21  # SSD's natural default (VOC-style)
     g = get_model(args.model, batch=args.batch, image=args.image,
                   classes=args.classes)
     if args.checkpoint:
@@ -57,6 +59,9 @@ def main(argv=None) -> int:
         params = load_file(args.checkpoint)
     else:
         params = init_params(g, seed=args.seed)
+    if args.model == "ssd":
+        from ..models.ssd import init_priors
+        params.update(init_priors(g))
     key = jax.random.PRNGKey(args.seed + 1)
     batches = []
     for _ in range(args.calib_batches):
