@@ -18,14 +18,19 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def ensure_artifact(model: str, wbits: int, image: int) -> str:
+def ensure_artifact(model: str, wbits: int, image: int,
+                    prune: float = 0.0) -> str:
     art = f"/tmp/tf2tpu_art_{model}_w{wbits}"
+    if prune:
+        art += f"_p{int(prune * 100)}"
     if os.path.exists(os.path.join(art, "graph.json")):
         return art
     env = dict(os.environ)
     cmd = [sys.executable, "-m", "tf2_tpu.transform.cli", "--model", model,
            "--wbits", str(wbits), "--out", art, "--batch", "2",
            "--image", str(image), "--calib-batches", "2"]
+    if prune:
+        cmd += ["--prune", str(prune)]
     r = subprocess.run(cmd, env=env, capture_output=True, text=True,
                        timeout=1800,
                        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -54,6 +59,9 @@ def main(argv=None):
     ap.add_argument("--image", type=int, default=None)
     ap.add_argument("--out", default=None,
                     help="append JSON lines to this file as well")
+    ap.add_argument("--prune", type=float, default=0.0,
+                    help="channel-prune fraction before quantization "
+                         "(VERDICT r2 item 10: measure pruned throughput)")
     args = ap.parse_args(argv)
 
     import jax
@@ -69,7 +77,7 @@ def main(argv=None):
         wbits, image = BASELINE_CONFIGS.get(model, (4, 224))
         wbits = args.wbits or wbits
         image = args.image or image
-        art = ensure_artifact(model, wbits, image)
+        art = ensure_artifact(model, wbits, image, args.prune)
         graph, params = load_artifact(art)
         for b in (int(x) for x in args.batches.split(",")):
             g = graph.with_batch_size(b)
@@ -80,6 +88,7 @@ def main(argv=None):
             roof = analyze(g)
             row = {
                 "model": model, "batch": b, "wbits": wbits, "image": image,
+                "prune": args.prune,
                 "img_per_s": round(stats["throughput_per_s"], 1),
                 "ms_per_batch": round(stats["latency_s"] * 1e3, 3),
                 "sol_ms": round(roof["sol_ms"], 3),
