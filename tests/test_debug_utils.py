@@ -38,3 +38,25 @@ def test_compare_backends_identical_on_cpu():
     art, _, _ = transform_model(g, params, batches, qspec=QuantSpec())
     findings = compare_backends(art.graph, art.params, image=batches[0]["image"])
     assert findings == []
+
+
+def test_checked_execute_catches_nan():
+    """checkify surfaces an in-graph NaN as a structured error."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from tf2_tpu.graph import init_params
+    from tf2_tpu.models import get_model
+    from tf2_tpu.utils.debug import checked_execute
+
+    g = get_model("squeezenet_v1_1", batch=1, image=32, classes=10)
+    params = init_params(g, seed=0)
+    fn = checked_execute(g)
+    # clean input passes
+    out = fn(params, image=jnp.ones(g.inputs["image"].shape))
+    assert out.shape == (1, 10)
+    # poisoned weights -> NaN inside the jitted graph -> raised, not silent
+    bad = dict(params)
+    bad["conv1.w"] = np.asarray(params["conv1.w"]) * np.nan
+    with pytest.raises(Exception, match="nan"):
+        fn(bad, image=jnp.ones(g.inputs["image"].shape))

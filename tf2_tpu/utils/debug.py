@@ -30,6 +30,31 @@ def interpret_mode():
         yield
 
 
+def checked_execute(graph: Graph, jit: bool = True):
+    """checkify-guarded executor (SURVEY.md §6.2): NaN/inf and
+    out-of-bounds index checks run INSIDE the jitted computation and
+    surface as structured errors instead of silent garbage.
+
+    Returns fn(params, **inputs) -> outputs, raising JaxRuntimeError with
+    the failing primitive's location on the first NaN/OOB. ~2x slower than
+    the plain executor — debug tool, not the serving path.
+    """
+    from jax.experimental import checkify
+
+    base = execute(graph)
+    checked = checkify.checkify(
+        base, errors=checkify.float_checks | checkify.index_checks)
+    if jit:
+        checked = jax.jit(checked)
+
+    def fn(params, **inputs):
+        err, out = checked(params, **inputs)
+        err.throw()
+        return out
+
+    return fn
+
+
 def check_finite(graph: Graph, params, **inputs) -> str | None:
     """Returns the name of the first node producing a non-finite value, or
     None if everything is finite. Runs with intermediates tapped."""
