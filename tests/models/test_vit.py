@@ -35,3 +35,35 @@ def test_vit_quantized_w8():
     yq = np.asarray(execute(art.graph)(art.params, image=x))
     err = np.linalg.norm(yq - yf) / (np.linalg.norm(yf) + 1e-12)
     assert err < 0.3, err
+
+
+def test_vit_quantized_attention_routes_agree():
+    """Full quantized ViT: the Pallas attention path (interpret mode) must
+    match the jnp reference path through the whole graph (VERDICT r2
+    item 6's integration gate, CPU side)."""
+    from tf2_tpu.kernels import dispatch
+    from tf2_tpu.transform import transform_model, QuantSpec
+    from tf2_tpu.utils.debug import interpret_mode
+
+    g = _tiny_vit()
+    params = init_params(g, seed=0)
+    batches = [{"image": jax.random.normal(jax.random.PRNGKey(0),
+                                           g.inputs["image"].shape)}]
+    art, fg, fp = transform_model(g, params, batches,
+                                  qspec=QuantSpec(weight_bits=8))
+    assert any(n.op == "qattention_core" for n in art.graph.nodes), \
+        "attention core did not quantize"
+    x = batches[0]["image"]
+    prev = dispatch._USE_PALLAS
+    try:
+        dispatch.set_use_pallas(False)
+        y_ref = np.asarray(execute(art.graph)(art.params, image=x))
+        dispatch.set_use_pallas(True)
+        with interpret_mode():
+            y_pal = np.asarray(execute(art.graph)(art.params, image=x))
+    finally:
+        dispatch.set_use_pallas(prev)
+    # final output is fp32 logits after dequantize; the int8 attention
+    # cores are elementwise-identical up to 1-quantum softmax rounding,
+    # which propagates to a small fp32 wiggle
+    np.testing.assert_allclose(y_pal, y_ref, atol=0.05, rtol=0.05)
