@@ -121,3 +121,32 @@ def test_prune_masks_channels():
     w = np.asarray(pruned[f"{name}.w"])
     zero_ch = (np.abs(w).reshape(-1, w.shape[-1]).sum(0) == 0).mean()
     assert zero_ch >= 0.2
+
+
+def test_bias_correction_reduces_error():
+    """DFQ-style bias correction (transform/bias_correct.py) must cut the
+    W4 output error materially (measured 2026-08-20: 0.385 -> 0.100 rel
+    err on a seeded depth-1 ResNet)."""
+    import jax
+    import numpy as np
+    from tf2_tpu.graph import execute, init_params
+    from tf2_tpu.models import get_model
+    from tf2_tpu.transform import QuantSpec, transform_model
+
+    g = get_model("resnet50", batch=2, image=64, classes=50,
+                  depths=(1, 1, 1, 1))
+    params = init_params(g, seed=0)
+    batches = [{"image": jax.random.normal(jax.random.PRNGKey(i),
+                                           g.inputs["image"].shape)}
+               for i in range(2)]
+    x = jax.random.normal(jax.random.PRNGKey(9), g.inputs["image"].shape)
+
+    errs = {}
+    for bc in (False, True):
+        art, fg, fp = transform_model(
+            g, params, batches, qspec=QuantSpec(weight_bits=4,
+                                                bias_correct=bc))
+        yf = np.asarray(execute(fg)(fp, image=x))
+        yq = np.asarray(execute(art.graph)(art.params, image=x))
+        errs[bc] = float(np.linalg.norm(yq - yf) / np.linalg.norm(yf))
+    assert errs[True] < errs[False] * 0.6, errs

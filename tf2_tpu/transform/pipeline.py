@@ -32,4 +32,7 @@ def transform_model(graph: Graph, params: dict, batches: Iterable[dict],
     batches = list(batches)
     scales = calibrate(fg, fp, batches, estimator=qspec.act_estimator)
     art = quantize_graph(fg, fp, scales, qspec)
+    if qspec.bias_correct:
+        from .bias_correct import bias_correct
+        bias_correct(art, fg, fp, batches)
     return art, fg, fp

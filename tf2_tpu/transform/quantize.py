@@ -38,6 +38,8 @@ class QuantSpec:
     first_last_w8: bool = True        # keep first/last layers at W8
     act_estimator: str = "percentile"
     pot_candidates: int = 33
+    bias_correct: bool = True         # fold mean quant error into eff_bias
+                                      # (transform/bias_correct.py)
 
 
 @dataclasses.dataclass
