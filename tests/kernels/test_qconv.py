@@ -93,3 +93,35 @@ def test_covers_predicate():
     # stride > 2 is not
     assert not qconv.covers((3, 3, 64, 64), (4, 4), "SAME", 1,
                             (8, 56, 56, 64))
+
+
+def test_bf16_stem_exact():
+    """The dispatch bf16 stem path (qconv2d, cin<=4) must equal the int32
+    path bit-for-bit: int8 magnitudes are exact in bf16, products
+    accumulate in f32, and worst-case |acc| = K*127^2 < 2^24. Exercised
+    with adversarial +-127 values, not just random data."""
+    from tf2_tpu.graph.ir import Node
+    from tf2_tpu.kernels import dispatch
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(-127, 128, (2, 32, 32, 3), dtype=np.int8)
+    x[0, :4, :4] = 127
+    x[1, :4, :4] = -127
+    w = rng.integers(-127, 128, (7, 7, 3, 16), dtype=np.int8)
+    w[:2, :2] = 127
+    es = rng.uniform(1e-4, 1e-2, 16).astype(np.float32)
+    eb = rng.normal(size=16).astype(np.float32)
+    node = Node("stem", "qconv2d", ("x",), ("w", "es", "eb"),
+                {"kshape": [7, 7, 3, 16], "strides": [2, 2],
+                 "padding": "SAME", "relu": True, "wfmt": "int8"})
+    params = {"w": jnp.asarray(w), "es": jnp.asarray(es),
+              "eb": jnp.asarray(eb)}
+    prev = dispatch._STEM_BF16
+    try:
+        dispatch.set_stem_bf16(False)
+        y_int = np.asarray(dispatch.qconv2d(node, params, jnp.asarray(x)))
+        dispatch.set_stem_bf16(True)
+        y_bf16 = np.asarray(dispatch.qconv2d(node, params, jnp.asarray(x)))
+    finally:
+        dispatch.set_stem_bf16(prev)
+    np.testing.assert_array_equal(y_int, y_bf16)

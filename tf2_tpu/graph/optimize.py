@@ -97,22 +97,54 @@ def space_to_depth_stem(graph: Graph, params,
     new_specs = dict(graph.params)
     new_specs[stem.params[0]] = TensorSpec(w4.shape, str(w4.dtype))
 
+    # Domain choice (measured on v5e-1, 2026-08-20): rearranging the INT8
+    # tensor costs more than the stem saves — the quantized image's layout
+    # puts C=3 in 4-sublane tiles and N in lanes, so an int8 s2d transpose
+    # runs at <40% lane occupancy (round-2 A/B: 4.09 ms vs 3.66 ms whole
+    # graph). Hoisting pad+s2d BEFORE the producing `quantize` node runs
+    # the rearrange in f32 where XLA fuses it into the quantize pass over
+    # the image (one read of the f32 input either way), and the conv then
+    # sees cin=12 directly. Padding f32 zeros quantizes to q=0 — exact for
+    # the symmetric scheme, same argument as the int8-zero padding above.
+    quant = None
+    for n in graph.nodes:
+        if n.name == stem.inputs[0] and n.op == "quantize":
+            consumers = [m for m in graph.nodes if n.name in m.inputs]
+            if len(consumers) == 1:
+                quant = n
+            break
+
     pad_name = f"{stem.name}__s2d_pad"
     s2d_name = f"{stem.name}__s2d"
+    pads_attr = {"pads": [[0, 0], [ph0, ph1], [pw0, pw1], [0, 0]]}
+    attrs = dict(stem.attrs, strides=[1, 1], padding="VALID",
+                 kshape=[ke // 2, ke // 2, 4 * cin, cout])
     new_nodes: list[Node] = []
     for n in graph.nodes:
+        if quant is not None and n.name == quant.name:
+            # f32 domain: pad + s2d feed the quantize node itself
+            new_nodes.append(Node(pad_name, "pad", (quant.inputs[0],), (),
+                                  pads_attr))
+            new_nodes.append(Node(s2d_name, "space_to_depth", (pad_name,), (),
+                                  {"block": 2}))
+            new_nodes.append(Node(quant.name, quant.op, (s2d_name,),
+                                  quant.params, dict(quant.attrs)))
+            continue
         if n.name != stem.name:
             new_nodes.append(n)
             continue
-        new_nodes.append(Node(pad_name, "pad", (stem.inputs[0],), (),
-                              {"pads": [[0, 0], [ph0, ph1], [pw0, pw1],
-                                        [0, 0]]}))
-        new_nodes.append(Node(s2d_name, "space_to_depth", (pad_name,), (),
-                              {"block": 2}))
-        attrs = dict(stem.attrs, strides=[1, 1], padding="VALID",
-                     kshape=[ke // 2, ke // 2, 4 * cin, cout])
-        new_nodes.append(Node(stem.name, stem.op, (s2d_name,), stem.params,
-                              attrs))
+        if quant is not None:
+            new_nodes.append(Node(stem.name, stem.op, stem.inputs,
+                                  stem.params, attrs))
+        else:
+            # int8 domain fallback (stem input not a single-consumer
+            # quantize output)
+            new_nodes.append(Node(pad_name, "pad", (stem.inputs[0],), (),
+                                  pads_attr))
+            new_nodes.append(Node(s2d_name, "space_to_depth", (pad_name,), (),
+                                  {"block": 2}))
+            new_nodes.append(Node(stem.name, stem.op, (s2d_name,),
+                                  stem.params, attrs))
     g = Graph(graph.name, dict(graph.inputs), graph.outputs, new_nodes,
               new_specs, dict(graph.meta))
     g.validate()

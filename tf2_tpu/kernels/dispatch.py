@@ -27,6 +27,7 @@ from ..transform import potq
 
 _INT_MODE: str | None = None      # None=auto, "int", "float"
 _USE_PALLAS: bool | None = None   # None=auto (TPU yes), True/False force
+_STEM_BF16: bool | None = None    # None=auto (TPU yes), True/False force
 # route a matmul/1x1-conv to the Pallas kernel only when its reduction dim
 # is at least this (small-K layers are HBM-bound; XLA's fusion there wins)
 _PALLAS_MIN_K: int = 0
@@ -42,6 +43,14 @@ def set_use_pallas(flag: bool | None, min_k: int | None = None):
     _USE_PALLAS = flag
     if min_k is not None:
         _PALLAS_MIN_K = min_k
+
+
+def set_stem_bf16(flag: bool | None):
+    """Force (True/False) or auto-resolve (None: on for TPU) the bf16
+    stem-conv path in qconv2d. Exactness is backend-independent — the knob
+    exists for A/B timing and for exercising the path in CPU tests."""
+    global _STEM_BF16
+    _STEM_BF16 = flag
 
 
 def pallas_min_k() -> int:
@@ -131,7 +140,27 @@ def qconv2d(node: Node, params, x_q: jax.Array) -> jax.Array:
             return y
         # fall through: shape unsupported by the kernel — XLA path
 
-    if _int_mode() == "int":
+    kh, kw = node.attrs["kshape"][:2]
+    if (_int_mode() == "int" and node.attrs["kshape"][2] <= 4
+            and kh * kw * node.attrs["kshape"][2] * 127 * 127 < 2 ** 24
+            and (jax.default_backend() == "tpu" if _STEM_BF16 is None
+                 else _STEM_BF16)):
+        # Stem-shaped convs (cin <= 4): compute on the bf16 MXU path.
+        # EXACT: int8 magnitudes are integers <= 127 (exact in bf16's
+        # 8 significand bits), bf16xbf16 products accumulate in f32, and
+        # worst-case |acc| = K*127^2 < 2^24 stays inside f32's integer
+        # range, so the f32 accumulator equals the int32 one bit-for-bit
+        # (pinned by tests/kernels/test_qconv.py::test_bf16_stem_exact).
+        # WHY: XLA lowers tiny-cin int8 convs with batch minormost (64 of
+        # 128 lanes) + a relayout copy; the bf16 emitter handles the same
+        # shape better (v5e-1 2026-08-20: ResNet-50 b64 whole-graph
+        # 3.52 -> 3.48 ms swapping only the stem).
+        acc = lax.conv_general_dilated(
+            x_q.astype(jnp.bfloat16), w_q.astype(jnp.bfloat16), strides,
+            padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32)
+    elif _int_mode() == "int":
         acc = lax.conv_general_dilated(
             x_q, w_q, strides, padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

