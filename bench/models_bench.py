@@ -84,7 +84,11 @@ def main(argv=None):
             eng = Engine(g, params)
             x = jax.random.normal(jax.random.PRNGKey(0),
                                   g.inputs["image"].shape, jnp.float32)
-            stats = eng.benchmark(iters=10, reps=3, image=x)
+            # checked two-point timing: sub-ms batch-1 forwards sit below
+            # the dispatch jitter and underflow the plain baseline-
+            # subtraction mode (VERDICT r2 weak #5)
+            stats = eng.benchmark(iters=10 if b > 8 else 64, reps=3,
+                                  checked=True, image=x)
             roof = analyze(g)
             row = {
                 "model": model, "batch": b, "wbits": wbits, "image": image,

@@ -104,3 +104,46 @@ def test_s2d_stem_requires_stem_pattern():
     y1 = np.asarray(execute(g1)(
         {k: jnp.asarray(v) for k, v in p1.items()}, image=x))
     np.testing.assert_array_equal(y0, y1)
+
+
+def test_fuse_stem_quantize_exact():
+    """Deleting the input quantize node and stamping s_in on the stem must
+    be bit-exact in both dispatch paths (int8 and forced-bf16)."""
+    from tf2_tpu.graph.optimize import fuse_stem_quantize
+    from tf2_tpu.kernels import dispatch
+
+    graph, params = _quantized_resnet()
+    g0, p0 = _predecoded(graph, params)
+    g1, p1 = fuse_stem_quantize(g0, p0)
+    assert not any(n.op == "quantize" and n.inputs[0] in g1.inputs
+                   for n in g1.nodes)
+    stem = next(n for n in g1.nodes if n.op == "qconv2d")
+    assert "s_in" in stem.attrs and stem.inputs[0] in g1.inputs
+
+    x = jax.random.normal(jax.random.PRNGKey(5), g1.inputs["image"].shape,
+                          jnp.float32)
+    jp0 = {k: jnp.asarray(v) for k, v in p0.items()}
+    jp1 = {k: jnp.asarray(v) for k, v in p1.items()}
+    y0 = np.asarray(execute(g0)(jp0, image=x))
+    prev = dispatch._STEM_BF16
+    try:
+        for flag in (False, True):
+            dispatch.set_stem_bf16(flag)
+            y1 = np.asarray(execute(g1)(jp1, image=x))
+            np.testing.assert_array_equal(y0, y1)
+    finally:
+        dispatch.set_stem_bf16(prev)
+
+
+def test_fuse_stem_quantize_skips_multi_consumer():
+    from tf2_tpu.graph.optimize import fuse_stem_quantize
+
+    graph, params = _quantized_resnet()
+    g0, p0 = _predecoded(graph, params)
+    quant = next(n for n in g0.nodes if n.op == "quantize")
+    nodes = list(g0.nodes) + [Node("qtap", "identity", (quant.name,), (), {})]
+    g0b = Graph(g0.name, dict(g0.inputs), tuple(g0.outputs) + ("qtap",),
+                nodes, dict(g0.params), dict(g0.meta))
+    g0b.validate()
+    g1, _ = fuse_stem_quantize(g0b, p0)
+    assert any(n.op == "quantize" for n in g1.nodes)  # untouched

@@ -27,6 +27,55 @@ from .ir import Graph, Node, TensorSpec
 log = logging.getLogger(__name__)
 
 
+def fuse_stem_quantize(graph: Graph, params) -> tuple[Graph, dict]:
+    """Fold the input `quantize` node into its consuming stem qconv2d.
+
+    The quantized image only exists to feed the stem; materializing it in
+    int8 costs a full write + a layout copy (v5e-1 profile 2026-08-20:
+    61 + 88 us of a 3.4 ms ResNet-50 b64 step). Deleting the quantize
+    node and stamping its scale onto the conv (attr "s_in") lets the
+    executor quantize VALUES in-register inside the conv fusion — exact,
+    because dispatch.qconv2d's small-cin path computes on bf16/int where
+    clip(round(x/s)) is representable exactly (integers <= 127).
+
+    Applies when: a quantize node consumes a graph input and its only
+    consumer is a qconv2d with cin <= 4. Runs at engine load, like
+    predecode.
+    """
+    quants = {n.name: n for n in graph.nodes if n.op == "quantize"
+              and n.inputs[0] in graph.inputs}
+    if not quants:
+        return graph, dict(params)
+    consumers: dict[str, list[Node]] = {q: [] for q in quants}
+    for n in graph.nodes:
+        for i in n.inputs:
+            if i in quants:
+                consumers[i].append(n)
+    fuse: dict[str, Node] = {}
+    for qname, cons in consumers.items():
+        if len(cons) == 1 and cons[0].op == "qconv2d" \
+                and cons[0].attrs["kshape"][2] <= 4:
+            fuse[qname] = cons[0]
+    if not fuse:
+        return graph, dict(params)
+    new_nodes = []
+    stems = {c.name: q for q, c in fuse.items()}
+    for n in graph.nodes:
+        if n.name in fuse:
+            continue  # quantize node deleted
+        if n.name in stems:
+            q = quants[stems[n.name]]
+            attrs = dict(n.attrs, s_in=float(q.attrs["scale"]))
+            new_nodes.append(Node(n.name, n.op, (q.inputs[0],), n.params,
+                                  attrs))
+        else:
+            new_nodes.append(n)
+    g = Graph(graph.name, dict(graph.inputs), graph.outputs, new_nodes,
+              dict(graph.params), dict(graph.meta))
+    g.validate()
+    return g, dict(params)
+
+
 def _same_pads(size: int, k: int, s: int) -> tuple[int, int]:
     out = -(-size // s)
     total = max((out - 1) * s + k - size, 0)

@@ -28,6 +28,7 @@ from ..transform import potq
 _INT_MODE: str | None = None      # None=auto, "int", "float"
 _USE_PALLAS: bool | None = None   # None=auto (TPU yes), True/False force
 _STEM_BF16: bool | None = None    # None=auto (TPU yes), True/False force
+_STEM_BF16_MAX_CIN: int = 4       # bf16 stem path applies to cin <= this
 # route a matmul/1x1-conv to the Pallas kernel only when its reduction dim
 # is at least this (small-K layers are HBM-bound; XLA's fusion there wins)
 _PALLAS_MIN_K: int = 0
@@ -118,9 +119,27 @@ def _epilogue(acc_i32, eff_scale, eff_bias, relu: bool):
     return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
 
 
+def _stem_bf16_applies(node: Node) -> bool:
+    kh, kw, cin, _ = node.attrs["kshape"]
+    return (_int_mode() == "int" and cin <= _STEM_BF16_MAX_CIN
+            and kh * kw * cin * 127 * 127 < 2 ** 24
+            and (jax.default_backend() == "tpu" if _STEM_BF16 is None
+                 else _STEM_BF16))
+
+
 def qconv2d(node: Node, params, x_q: jax.Array) -> jax.Array:
     eff_scale = params[node.params[1]]
     eff_bias = params[node.params[2]]
+    if "s_in" in node.attrs:
+        # fused input quantize (graph/optimize.fuse_stem_quantize): x is
+        # the raw f32 image; quantize VALUES here so the whole chain
+        # (quantize -> conv -> epilogue) is one XLA fusion with no int8
+        # image materialization. The clip/round result is an integer
+        # <= 127 — exact in f32/bf16 — so downstream math is unchanged.
+        x_q = jnp.clip(jnp.round(x_q.astype(jnp.float32)
+                                 / node.attrs["s_in"]), -127, 127)
+        if not _stem_bf16_applies(node) and _int_mode() == "int":
+            x_q = x_q.astype(jnp.int8)
     w_q = decode_weight(node, params)
     strides = tuple(node.attrs.get("strides", [1, 1]))
     padding = node.attrs.get("padding", "SAME")
@@ -128,8 +147,9 @@ def qconv2d(node: Node, params, x_q: jax.Array) -> jax.Array:
         padding = [tuple(p) for p in padding]
     groups = node.attrs.get("groups", 1)
 
-    if route_conv(x_q.shape, tuple(node.attrs["kshape"]), strides, groups,
-                  node.attrs["wfmt"]):
+    if x_q.dtype == jnp.int8 and route_conv(
+            x_q.shape, tuple(node.attrs["kshape"]), strides, groups,
+            node.attrs["wfmt"]):
         from . import qconv
         y = qconv.fused_qconv2d(
             x_q, params[node.params[0]], eff_scale, eff_bias,
@@ -140,11 +160,7 @@ def qconv2d(node: Node, params, x_q: jax.Array) -> jax.Array:
             return y
         # fall through: shape unsupported by the kernel — XLA path
 
-    kh, kw = node.attrs["kshape"][:2]
-    if (_int_mode() == "int" and node.attrs["kshape"][2] <= 4
-            and kh * kw * node.attrs["kshape"][2] * 127 * 127 < 2 ** 24
-            and (jax.default_backend() == "tpu" if _STEM_BF16 is None
-                 else _STEM_BF16)):
+    if _stem_bf16_applies(node):
         # Stem-shaped convs (cin <= 4): compute on the bf16 MXU path.
         # EXACT: int8 magnitudes are integers <= 127 (exact in bf16's
         # 8 significand bits), bf16xbf16 products accumulate in f32, and

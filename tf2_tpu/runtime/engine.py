@@ -117,6 +117,11 @@ class Engine:
         graph.validate()
         if predecode:
             graph, params = _predecode_fallback_weights(graph, params)
+            # fold the input quantize into the stem conv fusion (exact;
+            # drops the int8 image materialization + its layout copy —
+            # see graph/optimize.fuse_stem_quantize)
+            from ..graph.optimize import fuse_stem_quantize
+            graph, params = fuse_stem_quantize(graph, params)
         if optimize:
             # after predecode: a pot4 stem is int8 by now, so the rewrite's
             # wfmt=='int8' match actually fires on INT4 artifacts (ADVICE r1)
