@@ -147,3 +147,58 @@ def test_fuse_stem_quantize_skips_multi_consumer():
     g0b.validate()
     g1, _ = fuse_stem_quantize(g0b, p0)
     assert any(n.op == "quantize" for n in g1.nodes)  # untouched
+
+
+def test_fuse_bottleneck_chains_exact():
+    """The qblockchain rewrite must be bit-exact vs the node-by-node
+    executor, and must actually fuse ResNet's stride-1 blocks."""
+    from tf2_tpu.graph.optimize import fuse_bottleneck_chains
+
+    graph, params = _quantized_resnet(batch=2, image=64)
+    g0, p0 = _predecoded(graph, params)
+    g1, p1 = fuse_bottleneck_chains(g0, p0)
+    chains = [n for n in g1.nodes if n.op == "qblockchain"]
+    assert chains, "no chains fused on a ResNet graph"
+    # depths (1,1,1,1): stage-1 block is stride-1 WITH downsample -> one
+    # 1-block chain; stages 2-4 first blocks are stride-2 -> not fused
+    assert any(b["down"] for c in chains for b in c.attrs["blocks"])
+    assert len(g1.nodes) < len(g0.nodes)
+
+    x = jax.random.normal(jax.random.PRNGKey(7), g1.inputs["image"].shape,
+                          jnp.float32)
+    jp0 = {k: jnp.asarray(v) for k, v in p0.items()}
+    jp1 = {k: jnp.asarray(v) for k, v in p1.items()}
+    y0 = np.asarray(execute(g0)(jp0, image=x))
+    y1 = np.asarray(execute(g1)(jp1, image=x))
+    np.testing.assert_array_equal(y0, y1)
+
+
+def test_fuse_bottleneck_chains_multiblock():
+    """depths (2,1,1,1): stage-1 has a down-block + identity block that
+    must fuse into ONE 2-block chain."""
+    from tf2_tpu.graph.optimize import fuse_bottleneck_chains
+    from tf2_tpu.graph import init_params
+    from tf2_tpu.models import get_model
+    from tf2_tpu.transform import QuantSpec, fold_batch_norm, quantize_graph
+
+    g = get_model("resnet50", batch=1, image=64, classes=10,
+                  depths=(2, 1, 1, 1))
+    params = init_params(g, seed=0)
+    fg, fp = fold_batch_norm(g, params)
+    scales = {k: 0.02 for k in fg.inputs}
+    scales.update({n.name: 0.02 for n in fg.nodes})
+    art = quantize_graph(fg, fp, scales, QuantSpec(weight_bits=4,
+                                                   pot_candidates=5))
+    g0, p0 = _predecoded(art.graph, art.params)
+    g1, p1 = fuse_bottleneck_chains(g0, p0)
+    two = [n for n in g1.nodes if n.op == "qblockchain"
+           and len(n.attrs["blocks"]) == 2]
+    assert two, "stage-1 did not fuse into a single 2-block chain"
+
+    x = jax.random.normal(jax.random.PRNGKey(8), g1.inputs["image"].shape,
+                          jnp.float32)
+    y0 = np.asarray(execute(g0)(
+        {k: jnp.asarray(v) for k, v in p0.items()}, image=x))
+    y1 = np.asarray(execute(g1)(
+        {k: jnp.asarray(v) for k, v in p1.items()}, image=x))
+    np.testing.assert_array_equal(y0, y1)

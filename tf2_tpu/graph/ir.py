@@ -65,6 +65,8 @@ OPS = {
     "qdense": "fused quantized dense+bias+relu+requant",
     "qadd": "quantized residual add with rescale",
     "qconcat": "int8 concat with per-input rescale to a common scale",
+    "qblockchain": "fused run of stride-1 residual bottleneck blocks "
+                   "(1x1/3x3/1x1/qadd chain, kernels/qblocks.py)",
 }
 
 

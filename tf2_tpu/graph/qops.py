@@ -51,6 +51,11 @@ def _qadd(node, params, a, b):
     return dispatch.qadd(node, params, a, b)
 
 
+@register_op("qblockchain")
+def _qblockchain(node, params, x):
+    return dispatch.qblockchain(node, params, x)
+
+
 @register_op("qconcat")
 def _qconcat(node, params, *xs):
     return dispatch.qconcat(node, params, *xs)

@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..graph.ir import Node
@@ -267,6 +268,46 @@ def _route_attn(qkv_shape, heads: int, dim: int) -> bool:
     from . import autotune
     n, t, _ = qkv_shape
     return autotune.route(f"attn:b{n}:t{t}:h{heads}:d{dim}") == "pallas"
+
+
+def qblockchain(node: Node, params, x_q: jax.Array) -> jax.Array:
+    """Fused stride-1 bottleneck chain (graph/optimize.
+    fuse_bottleneck_chains -> kernels/qblocks.py). Pallas on TPU, the
+    bit-identical jnp reference elsewhere/when forced off."""
+    from . import qblocks
+
+    blocks = []
+    pn = node.params
+    i = 0
+    for battrs in node.attrs["blocks"]:
+        cm, cout = battrs["cm"], battrs["cout"]
+        w1 = params[pn[i]]
+        blk = {
+            "w1": w1.reshape(-1, cm),
+            "es1": params[pn[i + 1]], "eb1": params[pn[i + 2]],
+            "w2": params[pn[i + 3]].reshape(3, 3, cm, cm),
+            "es2": params[pn[i + 4]], "eb2": params[pn[i + 5]],
+            "w3": params[pn[i + 6]].reshape(cm, cout),
+            "es3": params[pn[i + 7]], "eb3": params[pn[i + 8]],
+            "sa_over_so": np.float32(battrs["sa"] / battrs["so"]),
+            "sb_over_so": np.float32(battrs["sb"] / battrs["so"]),
+            "relu": battrs["relu"],
+        }
+        i += 9
+        if battrs["down"]:
+            blk["wd"] = params[pn[i]].reshape(-1, cout)
+            blk["esd"] = params[pn[i + 1]]
+            blk["ebd"] = params[pn[i + 2]]
+            i += 3
+        blocks.append(blk)
+
+    use = (_USE_PALLAS if _USE_PALLAS is not None
+           else jax.default_backend() == "tpu")
+    if use:
+        y = qblocks.fused_qblockchain(x_q, blocks)
+        if y is not None:
+            return y
+    return qblocks.reference_chain(x_q, blocks)
 
 
 def qadd(node: Node, params, a_q, b_q) -> jax.Array:

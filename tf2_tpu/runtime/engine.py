@@ -101,7 +101,7 @@ class Engine:
 
     def __init__(self, graph: Graph, params: Mapping[str, np.ndarray],
                  mesh: MeshConfig | None = None, predecode: bool = True,
-                 optimize: bool = False):
+                 optimize: bool = False, block_fusion: bool = False):
         # optimize=True applies the space_to_depth stem rewrite
         # (graph/optimize.py). Measured on v5e-1 (2026-08-19, ResNet-50
         # b64, interleaved A/B): s2d 4.09/4.17 ms vs plain 3.66/3.57 ms —
@@ -122,6 +122,12 @@ class Engine:
             # see graph/optimize.fuse_stem_quantize)
             from ..graph.optimize import fuse_stem_quantize
             graph, params = fuse_stem_quantize(graph, params)
+        if block_fusion:
+            # fuse stride-1 bottleneck runs into qblockchain nodes
+            # (kernels/qblocks.py) — measured per-platform before
+            # defaulting on; see fuse_bottleneck_chains
+            from ..graph.optimize import fuse_bottleneck_chains
+            graph, params = fuse_bottleneck_chains(graph, params)
         if optimize:
             # after predecode: a pot4 stem is int8 by now, so the rewrite's
             # wfmt=='int8' match actually fires on INT4 artifacts (ADVICE r1)
