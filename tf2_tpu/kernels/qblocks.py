@@ -34,6 +34,19 @@ and the c3/qadd DOUBLE rounding is reproduced exactly.
 Integration: graph/optimize.fuse_bottleneck_chains rewrites matching
 node chains into a `qblockchain` node at engine load; the executor
 dispatches here on TPU and to reference_chain (same math, jnp) off-TPU.
+
+MEASURED VERDICT (v5e-1, 2026-08-21, ResNet-50 b64, checked two-point,
+interleaved single-process A/B, bit-exact parity in every run):
+baseline 3.456 ms; s1-only chain 3.973; s2-only 4.170; s3-only 4.276;
+all four chains 6.023 ms. Every chain LOSES ~0.5-0.8 ms despite
+eliminating its HBM round-trips. Diagnosis: Mosaic materializes the
+full-size f32 epilogue intermediates (scale/bias/round/clip + masks,
+~6 MB per block per image at stage 1) in VMEM between ops, where XLA's
+conv emitter streams the same epilogue through registers during MXU
+output drain; int8<->f32 conversions add (4,1)-packing relayouts on
+top. Third independent design to hit this wall (per-op qconv,
+BASELINE.md §3.6; qstem.py) — the measured-truth routing (all-XLA)
+stands. Kept off by default (Engine(block_fusion=True) to reproduce).
 """
 from __future__ import annotations
 
@@ -49,7 +62,11 @@ PAD_T, PAD_L = 1, 4   # top rows, left cols of the padded-flat layout
 
 
 def pad_geometry(h: int, w: int) -> tuple[int, int]:
-    return h + 2, w + 8
+    # WP must be a multiple of 8 so the per-dy row offsets (dy-1)*WP of
+    # the 3x3 taps are Mosaic-aligned sublane slices (extra right-pad
+    # columns are masked/unpadded away like the rest)
+    wp = -(-(w + 8) // 8) * 8
+    return h + 2, wp
 
 
 def pad_in(x: jax.Array) -> jax.Array:
