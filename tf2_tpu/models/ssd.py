@@ -58,9 +58,9 @@ def build(batch: int = 1, image: int = 256, classes: int = 21,
         loc = b.conv2d(f, c, anchors_per_cell * 4, 3, name=f"loc{i}")
         conf = b.conv2d(f, c, anchors_per_cell * classes, 3, name=f"conf{i}")
         locs.append(b.reshape(loc, (batch, fs * fs * anchors_per_cell, 4),
-                              name=f"loc{i}_r"))
+                              name=f"loc{i}_r", batch_leading=True))
         confs.append(b.reshape(conf, (batch, fs * fs * anchors_per_cell, classes),
-                               name=f"conf{i}_r"))
+                               name=f"conf{i}_r", batch_leading=True))
     loc_all = b.concat(locs, axis=1, name="loc_all")
     conf_all = b.concat(confs, axis=1, name="conf_all")
     scores = b.softmax(conf_all, name="scores")

@@ -19,7 +19,7 @@ def build(batch: int = 1, image: int = 224, classes: int = 1000,
     t = side * side
     x = b.conv2d(x, 3, dim, patch, stride=patch, padding="VALID",
                  name="patch_embed")
-    x = b.reshape(x, (batch, t, dim), name="tokens")
+    x = b.reshape(x, (batch, t, dim), name="tokens", batch_leading=True)
     b._param("pos_embed", (1, t, dim))
     x = b.raw("bias_add", [x], ["pos_embed"], name="pos_add")
     for i in range(depth):
@@ -36,7 +36,8 @@ def build(batch: int = 1, image: int = 224, classes: int = 1000,
         x = b.add(x, h, name=f"blk{i}_res2")
     x = b.layer_norm(x, dim, name="ln_final")
     # mean-pool over tokens: reshape to NHWC (batch, side, side, dim) + GAP
-    x = b.reshape(x, (batch, side, side, dim), name="token_grid")
+    x = b.reshape(x, (batch, side, side, dim), name="token_grid",
+                  batch_leading=True)
     x = b.global_avgpool(x, name="gap")
     logits = b.dense(x, dim, classes, name="head")
     return b.build(logits, family="vit",

@@ -101,7 +101,8 @@ class Engine:
 
     def __init__(self, graph: Graph, params: Mapping[str, np.ndarray],
                  mesh: MeshConfig | None = None, predecode: bool = True,
-                 optimize: bool = False, block_fusion: bool = False):
+                 optimize: bool = False, block_fusion: bool = False,
+                 donate_inputs: bool = False):
         # optimize=True applies the space_to_depth stem rewrite
         # (graph/optimize.py). Measured on v5e-1 (2026-08-19, ResNet-50
         # b64, interleaved A/B): s2d 4.09/4.17 ms vs plain 3.66/3.57 ms —
@@ -145,7 +146,19 @@ class Engine:
         else:
             self.params = {k: jnp.asarray(v) for k, v in params.items()}
             self._in_sh = {}
-        self._jfn = jax.jit(self._fn)
+        # Input-buffer donation (SURVEY.md §3 R6: the ping-pong DDR buffer
+        # analog — XLA reuses the consumed batch's HBM for outputs/temps,
+        # zero steady-state churn). Opt-in: a donated array is DEAD after
+        # the call, so callers that re-run the same batch object (tests,
+        # benchmarks) must leave this off; the serving path (serve/
+        # InferenceServer), which stacks a fresh batch every step, opts in.
+        self._donate = donate_inputs
+
+        def _wrapped(params, inputs):
+            return self._fn(params, **inputs)
+
+        self._jfn = jax.jit(_wrapped,
+                            donate_argnums=(1,) if donate_inputs else ())
         self._compiled = False
 
     # ---- build / warmup ----
@@ -153,7 +166,7 @@ class Engine:
         """AOT-compile with example (or zero) inputs; returns self."""
         inputs = example_inputs or self._zero_inputs()
         inputs = self.shard_inputs(**inputs)
-        jax.block_until_ready(self._jfn(self.params, **inputs))
+        jax.block_until_ready(self._jfn(self.params, inputs))
         self._compiled = True
         return self
 
@@ -171,7 +184,7 @@ class Engine:
 
     # ---- run ----
     def __call__(self, **inputs):
-        return self._jfn(self.params, **self.shard_inputs(**inputs))
+        return self._jfn(self.params, self.shard_inputs(**inputs))
 
     def run(self, **inputs):
         return jax.block_until_ready(self(**inputs))
