@@ -8,7 +8,8 @@ per-track device event durations, and reconciles the per-step device time
 against runtime/timing.py's scan-chained measurement. Writes
 PROFILE_TRACE.json at the repo root and prints the top device ops.
 
-Usage: python -m bench.profile_trace [--steps 8]
+Usage: python -m bench.profile_trace [--steps 8] [--model NAME]
+       [--batches 64,1]
 """
 from __future__ import annotations
 
@@ -18,6 +19,7 @@ import gzip
 import json
 import os
 import sys
+import time
 from collections import defaultdict
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
@@ -63,12 +65,98 @@ def aggregate(trace: dict) -> dict:
     return {"per_track": per_track, "spans": spans}
 
 
+def parse_hlo_computations(txt: str) -> dict:
+    """Optimized-HLO text -> {computation_name: [instruction dicts]}.
+
+    Each instruction dict: {"name", "shape", "scopes": set, "calls": [comp
+    names]}. "scopes" holds the graph-node named_scope prefixes (e.g.
+    ``qconv2d:s1b2_c3``) found in the instruction metadata — the join key
+    back to graph nodes (VERDICT r3 task 2: the named_scope -> fusion-name
+    correlation)."""
+    import re
+    comps: dict = {}
+    cur = None
+    for line in txt.splitlines():
+        m = re.match(r"(ENTRY )?%?([\w.\-]+)(?:\.v\d+)? \(.*\) -> .* {", line)
+        if m:
+            cur = m.group(2)
+            comps[cur] = {"instructions": [], "entry": bool(m.group(1))}
+            continue
+        if cur is None or not line.strip() or line.strip() == "}":
+            if line.strip() == "}":
+                cur = None
+            continue
+        im = re.match(r"\s+(?:ROOT )?%([\w.\-]+) = (\S+) ([\w\-]+)\(", line)
+        if not im:
+            continue
+        name, shape, opcode = im.groups()
+        scopes = set()
+        # constants/broadcasts are CSE'd across the module and carry the
+        # metadata of one arbitrary original site — attributing their
+        # scope would bleed unrelated node names into every fusion that
+        # shares e.g. the clip bound -127
+        om = (None if opcode in ("constant", "broadcast", "iota")
+              else re.search(r'op_name="([^"]+)"', line))
+        if om:
+            for part in om.group(1).split("/"):
+                if re.match(r"^[a-z_0-9]+:", part):
+                    scopes.add(part)
+                    break
+        calls = re.findall(r"calls=%([\w.\-]+)", line)
+        comps[cur]["instructions"].append(
+            {"name": name, "shape": shape, "scopes": scopes, "calls": calls})
+    return comps
+
+
+def hlo_op_nodes(txt: str) -> dict:
+    """{entry-instruction name: {"shape", "nodes": sorted scope list}} with
+    scopes gathered transitively through called computations, so a TPU
+    mega-fusion (3x3 conv + 1x1 conv + qadd nested in one kOutput fusion)
+    reports every graph node it contains."""
+    comps = parse_hlo_computations(txt)
+
+    def comp_scopes(cname: str, seen: set) -> set:
+        if cname in seen or cname not in comps:
+            return set()
+        seen.add(cname)
+        out: set = set()
+        for ins in comps[cname]["instructions"]:
+            out |= ins["scopes"]
+            for c in ins["calls"]:
+                out |= comp_scopes(c, seen)
+        return out
+
+    entry = next((c for c, v in comps.items() if v["entry"]), None)
+    table = {}
+    if entry is None:
+        return table
+    for ins in comps[entry]["instructions"]:
+        scopes = set(ins["scopes"])
+        for c in ins["calls"]:
+            scopes |= comp_scopes(c, set())
+        table[ins["name"]] = {"shape": ins["shape"],
+                              "nodes": sorted(scopes)}
+    return table
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=8)
-    ap.add_argument("--art", default="/tmp/tf2tpu_bench_r50_int4")
+    ap.add_argument("--model", default="resnet50")
+    ap.add_argument("--art", default=None,
+                    help="artifact dir (default: /tmp/tf2tpu_bench_<model>)")
+    ap.add_argument("--batches", default="64,1")
     ap.add_argument("--logdir", default="/tmp/tf2tpu_trace")
+    ap.add_argument("--out", default=None,
+                    help="output JSON (default: PROFILE_TRACE.json for "
+                         "resnet50, PROFILE_TRACE_<model>.json otherwise)")
     args = ap.parse_args(argv)
+    if args.art is None:
+        args.art = ("/tmp/tf2tpu_bench_r50_int4" if args.model == "resnet50"
+                    else f"/tmp/tf2tpu_bench_{args.model}")
+    if args.out is None:
+        args.out = ("PROFILE_TRACE.json" if args.model == "resnet50"
+                    else f"PROFILE_TRACE_{args.model}.json")
 
     import jax
     import jax.numpy as jnp
@@ -80,26 +168,36 @@ def main(argv=None):
     from tf2_tpu.transform import load_artifact
 
     compile_cache.enable()
-    ensure_artifact(args.art, "resnet50")
+    ensure_artifact(args.art, args.model)
     graph, params = load_artifact(args.art)
     report = {}
-    for b in (64, 1):
+    for b in (int(v) for v in args.batches.split(",")):
         g = graph.with_batch_size(b)
         eng = Engine(g, params)
         x = jax.random.normal(jax.random.PRNGKey(0),
                               g.inputs["image"].shape, jnp.float32)
-        eng.build(image=x)  # compile outside the trace
+        iname = next(iter(g.inputs))
+        eng.build(**{iname: x})  # compile outside the trace
+
+        # optimized HLO -> graph-node correlation (VERDICT r3 task 2):
+        # entry-fusion names are exactly the profiler's XLA-Ops event
+        # names; scopes inside each fusion's computation(s) name the
+        # graph nodes it executes
+        hlo_txt = eng._jfn.lower(eng.params, {iname: x}).compile().as_text()
+        opmap = hlo_op_nodes(hlo_txt)
 
         # scan-chained timing (the methodology under audit)
         def step(xx, p):
-            return eng._fn(p, **{"image": xx})
+            return eng._fn(p, **{iname: xx})
         scan = device_time_checked(step, (x, eng.params),
                                    iters=60 if b > 8 else 600, reps=3)
 
-        logdir = f"{args.logdir}_b{b}"
+        # fresh logdir per run: find_perfetto globs recursively, and a
+        # stale trace from an earlier session would be aggregated silently
+        logdir = f"{args.logdir}_b{b}_{int(time.time())}"
         with jax.profiler.trace(logdir, create_perfetto_trace=True):
             for _ in range(args.steps):
-                out = eng(image=x)
+                out = eng(**{iname: x})
             jax.block_until_ready(out)
 
         entry = {"scan_ms_per_step": round(scan["time_s"] * 1e3, 4),
@@ -114,13 +212,30 @@ def main(argv=None):
             busy_us = {f"{k[0]}|{k[1]}": sum(v.values())
                        for k, v in dev_tracks.items()}
             top = sorted(((n, d) for k, v in dev_tracks.items()
-                          for n, d in v.items()), key=lambda t: -t[1])[:20]
+                          for n, d in v.items()), key=lambda t: -t[1])[:40]
             entry["device_busy_us_per_track"] = {
                 k: round(v, 1) for k, v in busy_us.items()}
             entry["device_ms_per_step_busiest_track"] = round(
                 max(busy_us.values(), default=0.0) / args.steps / 1e3, 4)
             entry["top_device_ops_us"] = [
-                {"name": n[:120], "total_us": round(d, 1)} for n, d in top]
+                {"name": n[:120], "total_us": round(d, 1),
+                 "us_per_step": round(d / args.steps, 1),
+                 "nodes": opmap.get(n, {}).get("nodes", []),
+                 "out_shape": opmap.get(n, {}).get("shape", "")[:48]}
+                for n, d in top]
+            # per-node attribution: each op's time lands on the joined
+            # node-set key so mega-fusions stay honest (no fake split)
+            per_node = defaultdict(float)
+            for k, v in dev_tracks.items():
+                for n, d in v.items():
+                    if n.startswith("jit_"):
+                        continue  # whole-module envelope event
+                    nodes = opmap.get(n, {}).get("nodes", [])
+                    key = " + ".join(nodes) if nodes else f"<{n}>"
+                    per_node[key] += d / args.steps
+            entry["per_node_us_per_step"] = {
+                k: round(v, 1) for k, v in sorted(per_node.items(),
+                                                  key=lambda t: -t[1])}
         else:
             entry["error"] = "no perfetto trace emitted"
         report[f"batch{b}"] = entry
@@ -131,7 +246,7 @@ def main(argv=None):
             print(f"  {row['total_us']:>12.1f} us  {row['name']}",
                   flush=True)
 
-    with open(os.path.join(REPO, "PROFILE_TRACE.json"), "w") as f:
+    with open(os.path.join(REPO, args.out), "w") as f:
         json.dump(report, f, indent=1)
     return 0
 
