@@ -28,9 +28,10 @@ def ensure_artifact(art: str, model: str, wbits: int = 4):
         return
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    image = "256" if model == "ssd" else "224"  # SSD heads need 64 | image
     cmd = [sys.executable, "-m", "tf2_tpu.transform.cli",
            "--model", model, "--wbits", str(wbits), "--out", art,
-           "--batch", "2", "--image", "224", "--calib-batches", "2"]
+           "--batch", "2", "--image", image, "--calib-batches", "2"]
     r = subprocess.run(cmd, env=env, capture_output=True, text=True,
                        timeout=1800)
     if r.returncode != 0:

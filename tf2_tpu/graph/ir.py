@@ -67,6 +67,8 @@ OPS = {
     "qconcat": "int8 concat with per-input rescale to a common scale",
     "qblockchain": "fused run of stride-1 residual bottleneck blocks "
                    "(1x1/3x3/1x1/qadd chain, kernels/qblocks.py)",
+    "qlrn": "fused int8 LRN: dequantize+lrn+requantize in one pass "
+            "(kernels/qlrn.py)",
 }
 
 

@@ -81,6 +81,95 @@ def fuse_stem_quantize(graph: Graph, params) -> tuple[Graph, dict]:
     return g, dict(params)
 
 
+def fuse_lrn_quantize(graph: Graph, params) -> tuple[Graph, dict]:
+    """Fold dequantize -> lrn -> quantize into one ``qlrn`` node
+    (kernels/qlrn.py: int8 in, int8 out, one pass over the tensor).
+
+    Why: XLA cannot fuse across the LRN channel-window op, so the f32
+    intermediates round-trip HBM — ~860 us/step on GoogLeNet b64 against
+    an int8-traffic floor of ~95 us (PROFILE_TRACE_googlenet.json,
+    2026-08-21). Applies when the dequantize and lrn each have exactly
+    one consumer and none of the three nodes is a graph output. Runs at
+    engine load, like predecode.
+    """
+    by_name = {n.name: n for n in graph.nodes}
+    consumers: dict[str, list[Node]] = {}
+    for n in graph.nodes:
+        for i in n.inputs:
+            consumers.setdefault(i, []).append(n)
+    outputs = set(graph.outputs)
+
+    # quantize->monotone-passthrough commutation: maxpool/reshape/etc
+    # between lrn and its quantize commute with round/clip (both
+    # monotone non-decreasing; max-then-quantize == quantize-then-max),
+    # so the chain dq -> lrn -> P* -> quantize rewrites to
+    # qlrn -> P*(int8) exactly
+    _commuting = {"maxpool", "reshape", "flatten", "identity", "dropout",
+                  "transpose", "pad"}
+
+    rewrites: dict[str, tuple] = {}  # quantize name -> (dq, lrn, chain, q)
+    dead: set[str] = set()
+    for dq in graph.nodes:
+        if dq.op != "dequantize" or dq.name in outputs:
+            continue
+        cons = consumers.get(dq.name, [])
+        if len(cons) != 1 or cons[0].op != "lrn" or cons[0].name in outputs:
+            continue
+        lrn = cons[0]
+        chain: list[Node] = []
+        cur = lrn
+        q = None
+        while True:
+            nxt = consumers.get(cur.name, [])
+            if len(nxt) != 1 or cur.name in outputs:
+                break
+            if nxt[0].op == "quantize":
+                q = nxt[0]
+                break
+            if nxt[0].op in _commuting:
+                cur = nxt[0]
+                chain.append(cur)
+                continue
+            break
+        if q is None:
+            continue
+        rewrites[q.name] = (dq, lrn, chain, q)
+        dead.update((dq.name, lrn.name))
+        dead.update(n.name for n in chain)
+    if not rewrites:
+        return graph, dict(params)
+
+    new_nodes: list[Node] = []
+    for n in graph.nodes:
+        if n.name in dead:
+            continue
+        if n.name in rewrites:
+            dq, lrn, chain, q = rewrites[n.name]
+            attrs = {"radius": lrn.attrs.get("radius", 2),
+                     "alpha": lrn.attrs.get("alpha", 1e-4),
+                     "beta": lrn.attrs.get("beta", 0.75),
+                     "bias": lrn.attrs.get("bias", 1.0),
+                     "s_in": float(dq.attrs["scale"]),
+                     "s_out": float(q.attrs["scale"])}
+            qlrn_name = f"{lrn.name}__qlrn" if chain else q.name
+            new_nodes.append(Node(qlrn_name, "qlrn", (dq.inputs[0],), (),
+                                  attrs))
+            prev = qlrn_name
+            for i, p in enumerate(chain):
+                # re-emit the passthrough on int8; last one takes the
+                # quantize's name so downstream references resolve
+                pname = q.name if i == len(chain) - 1 else p.name
+                new_nodes.append(Node(pname, p.op, (prev,), p.params,
+                                      dict(p.attrs)))
+                prev = pname
+        else:
+            new_nodes.append(n)
+    g = Graph(graph.name, dict(graph.inputs), graph.outputs, new_nodes,
+              dict(graph.params), dict(graph.meta))
+    g.validate()
+    return g, dict(params)
+
+
 def _is_qconv(n: Node | None, k: int, relu: bool) -> bool:
     return (n is not None and n.op == "qconv2d"
             and tuple(n.attrs["kshape"][:2]) == (k, k)

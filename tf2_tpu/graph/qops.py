@@ -59,3 +59,8 @@ def _qblockchain(node, params, x):
 @register_op("qconcat")
 def _qconcat(node, params, *xs):
     return dispatch.qconcat(node, params, *xs)
+
+
+@register_op("qlrn")
+def _qlrn(node, params, x):
+    return dispatch.qlrn(node, params, x)

@@ -42,22 +42,81 @@ def iou_matrix(boxes: jax.Array) -> jax.Array:
     return inter / jnp.maximum(union, 1e-9)
 
 
+def _pairwise_iou(a: jax.Array, b: jax.Array) -> jax.Array:
+    """(m,4) x (n,4) xyxy -> (m,n) IoU."""
+    ax1, ay1, ax2, ay2 = jnp.split(a, 4, axis=-1)            # (m,1)
+    bx1, by1, bx2, by2 = (v.T for v in jnp.split(b, 4, axis=-1))  # (1,n)
+    area_a = jnp.maximum(ax2 - ax1, 0) * jnp.maximum(ay2 - ay1, 0)
+    area_b = jnp.maximum(bx2 - bx1, 0) * jnp.maximum(by2 - by1, 0)
+    inter = (jnp.maximum(jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1), 0)
+             * jnp.maximum(jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1), 0))
+    union = area_a + area_b - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+_NMS_TILE = 64
+
+
 def nms_single_class(boxes: jax.Array, scores: jax.Array, k: int,
                      iou_thresh: float) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Greedy NMS over the top-k of one class. boxes (A,4), scores (A,).
-    Returns (boxes (k,4), scores (k,), keep mask (k,)) sorted by score."""
+    Returns (boxes (k,4), scores (k,), keep mask (k,)) sorted by score.
+
+    Formulation — TILED greedy sweep (SURVEY.md §8 hard-part 6; the
+    TPU-native shape of the reference's host-side C++ NMS, R9):
+    score-sorted candidates are processed in static tiles of T=64. Each
+    tile is (a) suppressed by all KEPT candidates of earlier tiles with
+    one (T x done) IoU block, then (b) resolved internally by a fixpoint
+    iteration of keep <- ~pre & ~any(M & keep) on its (T x T) block,
+    which converges in at most intra-tile-chain-depth passes. Greedy
+    semantics are preserved exactly: suppression flows only from
+    higher-scored (earlier) candidates, and earlier tiles are fully
+    resolved before later ones.
+
+    Measured history (v5e-1, SSD b64, random-score worst case):
+    sequential fori_loop sweep 3.42 ms NMS + 1.03 ms while overhead per
+    7.29 ms step; GLOBAL k x k fixpoint (round-4 first attempt) was
+    faster at b1 but 2x worse at b64 — random boxes build deep chains,
+    and every pass re-reads the batched 200x200 matrix (~51 MB) from
+    HBM. Tiling bounds per-pass traffic to (T x k) blocks and per-tile
+    passes to intra-tile depth. Exactness vs the sequential sweep is
+    pinned by tests/kernels/test_detection.py."""
     scores_k, idx = jax.lax.top_k(scores, k)
     boxes_k = boxes[idx]
-    iou = iou_matrix(boxes_k)
+    t = min(_NMS_TILE, k)
+    kp = -(-k // t) * t
+    # pad with zero boxes (iou 0, score-sorted last): keep bits of the
+    # padding are irrelevant and sliced off at the end
+    bpad = jnp.pad(boxes_k, ((0, kp - k), (0, 0)))
+    keep = jnp.ones((kp,), bool)
 
-    def body(i, keep):
-        # candidate i survives if not suppressed by any kept j < i
-        sup = jnp.any((iou[:, i] > iou_thresh) & keep &
-                      (jnp.arange(k) < i))
-        return keep.at[i].set(jnp.logical_not(sup))
+    for ti in range(kp // t):
+        rows = jax.lax.slice_in_dim(bpad, ti * t, (ti + 1) * t, axis=0)
+        if ti > 0:
+            prev = jax.lax.slice_in_dim(bpad, 0, ti * t, axis=0)
+            kprev = jax.lax.slice_in_dim(keep, 0, ti * t, axis=0)
+            iou_prev = _pairwise_iou(prev, rows)          # (done, T)
+            pre = jnp.any((iou_prev > iou_thresh) & kprev[:, None], axis=0)
+        else:
+            pre = jnp.zeros((t,), bool)
+        # intra-tile strictly-upper suppression matrix
+        m = (_pairwise_iou(rows, rows) > iou_thresh) \
+            & jnp.triu(jnp.ones((t, t), bool), 1)
 
-    keep = jax.lax.fori_loop(1, k, body, jnp.ones(k, bool))
-    return boxes_k, scores_k, keep
+        def cond(st):
+            kt, prev_kt, it = st
+            return jnp.any(kt != prev_kt) & (it < t)
+
+        def body(st):
+            kt, _, it = st
+            sup = jnp.any(m & kt[:, None], axis=0)
+            return ~pre & ~sup, kt, it + 1
+
+        kt, _, _ = jax.lax.while_loop(
+            cond, body, (~pre, jnp.zeros((t,), bool), 0))
+        keep = jax.lax.dynamic_update_slice(keep, kt, (ti * t,))
+
+    return boxes_k, scores_k, keep[:k]
 
 
 @functools.partial(jax.jit, static_argnames=("max_out", "topk"))

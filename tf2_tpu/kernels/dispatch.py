@@ -314,6 +314,39 @@ def qblockchain(node: Node, params, x_q: jax.Array) -> jax.Array:
     return qblocks.reference_chain(x_q, blocks)
 
 
+def qlrn(node: Node, params, x_q: jax.Array) -> jax.Array:
+    """Fused int8 LRN (graph/optimize.fuse_lrn_quantize ->
+    kernels/qlrn.py). Pallas on TPU, same-math jnp reference elsewhere."""
+    from . import qlrn as _qlrn
+
+    kw = dict(radius=node.attrs.get("radius", 2),
+              alpha=node.attrs.get("alpha", 1e-4),
+              beta=node.attrs.get("beta", 0.75),
+              bias=node.attrs.get("bias", 1.0),
+              s_in=node.attrs["s_in"], s_out=node.attrs["s_out"])
+    # Default is the jnp path: the int8-in/int8-out shifted-add chain is
+    # pure elementwise+static-slices, which XLA fuses into ONE kernel —
+    # measured v5e-1 2026-08-21 standalone (M=200704, C=64): XLA 0.145 ms
+    # vs Pallas 0.425 ms (and the Pallas boundary perturbed neighboring
+    # ops' layouts in-graph). The kernel stays routable per measured win.
+    if _USE_PALLAS or (_USE_PALLAS is None
+                       and jax.default_backend() == "tpu"
+                       and _route_lrn(x_q.shape)):
+        y = _qlrn.fused_qlrn(x_q, **kw)
+        if y is not None:
+            return y
+    return _qlrn.reference_qlrn(x_q, **kw)
+
+
+def _route_lrn(xshape) -> bool:
+    from . import autotune
+    c = xshape[-1]
+    m = 1
+    for d in xshape[:-1]:
+        m *= d
+    return autotune.route(f"lrn:m{m}:c{c}") == "pallas"
+
+
 def qadd(node: Node, params, a_q, b_q) -> jax.Array:
     sa, sb, so = node.attrs["sa"], node.attrs["sb"], node.attrs["so"]
     y = a_q.astype(jnp.float32) * (sa / so) + b_q.astype(jnp.float32) * (sb / so)

@@ -73,8 +73,12 @@ def build(batch: int = 1, image: int = 256, classes: int = 21,
     b._param("priors", (a, 4))
     boxes = b.raw("box_decode", [loc_all], ["priors"], name="boxes",
                   variances=[0.1, 0.2])
+    # topk=100 per class: with max_out=100 TOTAL detections, 100
+    # candidates/class loses nothing in practice and halves the NMS
+    # gather/IoU work — measured v5e-1 2026-08-21, the b64 post-proc is
+    # candidate-count bound (PROFILE_TRACE_ssd.json)
     dets = b.raw("nms", [boxes, scores], name="detections",
-                 max_out=100, topk=min(200, a), iou_thresh=0.45,
+                 max_out=100, topk=min(100, a), iou_thresh=0.45,
                  score_thresh=0.01)
     g = b.build(dets, family="ssd", num_priors=a, classes=classes)
     g.meta["priors_value"] = None  # priors array supplied by init hook below

@@ -121,8 +121,11 @@ class Engine:
             # fold the input quantize into the stem conv fusion (exact;
             # drops the int8 image materialization + its layout copy —
             # see graph/optimize.fuse_stem_quantize)
-            from ..graph.optimize import fuse_stem_quantize
+            from ..graph.optimize import fuse_lrn_quantize, fuse_stem_quantize
             graph, params = fuse_stem_quantize(graph, params)
+            # dequantize->lrn->quantize => one-pass int8 qlrn
+            # (kernels/qlrn.py; GoogLeNet b64 LRN traffic 860 -> ~100 us)
+            graph, params = fuse_lrn_quantize(graph, params)
         if block_fusion:
             # fuse stride-1 bottleneck runs into qblockchain nodes
             # (kernels/qblocks.py) — measured per-platform before

@@ -151,7 +151,10 @@ def device_time_checked(step_fn: Callable, args: tuple, carry_arg: int = 0,
         out = step_fn(*a)
         leaf = jax.tree_util.tree_leaves(out)[0]
         eps = (jnp.sum(leaf.astype(jnp.float32)) * 1e-20).reshape(())
-        return carry + eps, None
+        # cast back so integer carries (int8 engine outputs) chain too:
+        # the epsilon is a data dependency, not a value change — XLA
+        # cannot prove it zero, so the chained op is never DCE'd
+        return (carry + eps).astype(carry.dtype), None
 
     def chained(x0, length):
         final, _ = lax.scan(body, x0, None, length=length)

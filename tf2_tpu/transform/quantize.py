@@ -225,6 +225,27 @@ def quantize_graph(graph: Graph, params: Mapping[str, np.ndarray],
                 continue
             # fp input: fall through to the default fp path
 
+        if node.op == "lrn":
+            nv, s_in = val[node.inputs[0]]
+            if s_in is not None and node.name in act_scales:
+                # first-class quantized LRN (kernels/qlrn.py): int8 in ->
+                # int8 out in one fused pass, keeping the int8 chain alive
+                # through the pool/concat ops that follow (GoogLeNet:
+                # lrn_1 -> maxpool_1 -> {quantize, inception pool branch}
+                # made the load-time dq->lrn->q fusion unmatchable —
+                # quantize-time emission is the structural fix; v5e-1
+                # 2026-08-21: the unfused chain cost ~860 us/step b64)
+                s_out = float(act_scales[node.name])
+                new_nodes.append(Node(node.name, "qlrn", (nv,), (), {
+                    "radius": node.attrs.get("radius", 2),
+                    "alpha": node.attrs.get("alpha", 1e-4),
+                    "beta": node.attrs.get("beta", 0.75),
+                    "bias": node.attrs.get("bias", 1.0),
+                    "s_in": s_in, "s_out": s_out}))
+                val[node.name] = (node.name, s_out)
+                continue
+            # fp input: fall through to the default fp path
+
         if node.op in _PASSTHROUGH:
             nv, s = val[node.inputs[0]]
             new_nodes.append(Node(node.name, node.op, (nv,), node.params,
