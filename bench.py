@@ -57,7 +57,10 @@ def main():
     g64 = graph.with_batch_size(BATCH)
     eng = Engine(g64, params)
     x = jax.random.normal(key, g64.inputs["image"].shape, jnp.float32)
-    stats = eng.benchmark(iters=15, reps=3, image=x)
+    # checked two-point timing for the headline too: the plain scan
+    # baseline-subtraction read 2.99 ms on a step the profiler measures
+    # at 3.45 ms (2026-08-21) — a +13% flattering error, not a win
+    stats = eng.benchmark(iters=15, reps=3, checked=True, image=x)
 
     # batch-1 p50 latency — checked two-point timing: the b1 forward is
     # ~0.15 ms, far below the relay dispatch jitter, so the single-scan

@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def ensure_artifact(model: str, wbits: int, image: int,
                     prune: float = 0.0) -> str:
-    art = f"/tmp/tf2tpu_art_{model}_w{wbits}"
+    from tf2_tpu.models import ZOO_VERSION
+    art = f"/tmp/tf2tpu_art_{model}_w{wbits}_z{ZOO_VERSION}"
     if prune:
         art += f"_p{int(prune * 100)}"
     if os.path.exists(os.path.join(art, "graph.json")):

@@ -72,6 +72,11 @@ def serving_load(graph, params, batch: int, seconds: float,
     shape = tuple(g.inputs[iname].shape[1:])
     srv = InferenceServer(eng, batch, input_name=iname, max_wait_s=0.002)
     srv.start()
+    # warm the serving path end-to-end before opening the load window:
+    # the donated executable is distinct from the non-donated one, so the
+    # first request pays a full XLA compile (minutes under the relay)
+    warm = np.zeros(shape, np.float32)
+    srv.predict(warm, timeout=600)
     lat: list[float] = []
     lock = threading.Lock()
     stop = threading.Event()
@@ -102,13 +107,20 @@ def serving_load(graph, params, batch: int, seconds: float,
     ls = sorted(lat)
 
     def pct(p):
+        if not ls:
+            return None
         return round(ls[min(len(ls) - 1, int(p * len(ls)))] * 1e3, 2)
 
     st = srv.stats()
     return {"img_per_s": round(done[0] / wall, 1),
             "requests": done[0], "clients": clients,
             "p50_ms": pct(0.50), "p95_ms": pct(0.95), "p99_ms": pct(0.99),
-            "mean_occupancy": round(st.get("mean_occupancy", 0.0), 3)}
+            "avg_occupancy": round(st.get("avg_occupancy", 0.0), 3),
+            "note": "under the axon relay each dispatch costs ~25-200 ms "
+                    "RPC, so host-driven rates measure the relay, not the "
+                    "chip (device step is the §4.1 number); the relative "
+                    "donate-vs-nodonate delta and the batcher structure "
+                    "are the meaningful signals here"}
 
 
 def main(argv=None):

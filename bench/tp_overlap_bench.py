@@ -22,14 +22,21 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=8")
 
 import jax  # noqa: E402
+
+# the axon sitecustomize overrides the JAX_PLATFORMS env var; force CPU
+# through the config so this never silently grabs the (single) TPU chip
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp  # noqa: E402
 
 
 def main():
     from tf2_tpu.parallel import make_mesh
     from tf2_tpu.parallel.tp_overlap import allgather_matmul, gspmd_matmul
-    from tf2_tpu.runtime.timing import device_time_s
+    from tf2_tpu.runtime.timing import device_time_checked
 
+    assert jax.default_backend() == "cpu" and jax.device_count() >= 2, (
+        "tp_overlap_bench needs the virtual CPU mesh")
     cfg = make_mesh(tp=jax.device_count())
     m, k, n = 512, 2048, 1024
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
@@ -37,10 +44,12 @@ def main():
                        cfg.named(None, cfg.tp_axis))
     w = jax.random.normal(k2, (k, n), jnp.float32)
 
-    t_ring = device_time_s(lambda yy, ww: allgather_matmul(cfg, yy, ww),
-                           (y, w), iters=10, reps=3, two_point=True)
-    t_gspmd = device_time_s(lambda yy, ww: gspmd_matmul(cfg, yy, ww),
-                            (y, w), iters=10, reps=3, two_point=True)
+    t_ring = device_time_checked(
+        lambda yy, ww: allgather_matmul(cfg, yy, ww), (y, w),
+        iters=16, reps=3)["time_s"]
+    t_gspmd = device_time_checked(
+        lambda yy, ww: gspmd_matmul(cfg, yy, ww), (y, w),
+        iters=16, reps=3)["time_s"]
     result = {
         "mesh": f"cpu x{jax.device_count()} (virtual, tp only)",
         "shape": f"({m},{k})x({k},{n}) f32, K sharded tp={cfg.tp}",

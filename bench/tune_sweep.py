@@ -24,8 +24,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def ensure_artifact(art: str, model: str, wbits: int = 4):
+    # stale-artifact guard: a cached artifact built by an older zoo is
+    # rebuilt rather than silently measured (its graph attrs/ops differ)
+    from tf2_tpu.models import ZOO_VERSION
+    stamp = os.path.join(art, f".zoo_v{ZOO_VERSION}")
     if os.path.exists(os.path.join(art, "graph.json")):
-        return
+        if os.path.exists(stamp):
+            return
+        import shutil
+        shutil.rmtree(art)
+    os.makedirs(art, exist_ok=True)
+    with open(stamp, "w") as f:
+        f.write("")
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     image = "256" if model == "ssd" else "224"  # SSD heads need 64 | image

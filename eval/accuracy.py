@@ -183,8 +183,8 @@ def imagenet_eval(model: str, wbits: int, data_dir: str, image: int = 224,
 
     g = get_model(model, batch=batch, image=image)
     if checkpoint:
-        from safetensors.numpy import load_file
-        params = load_file(checkpoint)
+        from tf2_tpu.transform.importers import load_checkpoint
+        params = load_checkpoint(checkpoint, g)
     else:
         params = init_params(g, seed=0)
     shards = sorted(glob.glob(os.path.join(data_dir, "*.npz")))

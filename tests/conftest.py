@@ -19,3 +19,8 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", (
     "tests must run on CPU; TPU was already initialized before conftest")
 assert jax.local_device_count() == 8, "expected 8 virtual CPU devices"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end drills (minutes)")

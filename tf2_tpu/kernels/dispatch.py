@@ -166,21 +166,34 @@ def qconv2d(node: Node, params, x_q: jax.Array) -> jax.Array:
         # fall through: shape unsupported by the kernel — XLA path
 
     if _stem_bf16_applies(node):
-        # Stem-shaped convs (cin <= 4): compute on the bf16 MXU path.
-        # EXACT: int8 magnitudes are integers <= 127 (exact in bf16's
-        # 8 significand bits), bf16xbf16 products accumulate in f32, and
-        # worst-case |acc| = K*127^2 < 2^24 stays inside f32's integer
-        # range, so the f32 accumulator equals the int32 one bit-for-bit
-        # (pinned by tests/kernels/test_qconv.py::test_bf16_stem_exact).
-        # WHY: XLA lowers tiny-cin int8 convs with batch minormost (64 of
-        # 128 lanes) + a relayout copy; the bf16 emitter handles the same
-        # shape better (v5e-1 2026-08-20: ResNet-50 b64 whole-graph
-        # 3.52 -> 3.48 ms swapping only the stem).
-        acc = lax.conv_general_dilated(
-            x_q.astype(jnp.bfloat16), w_q.astype(jnp.bfloat16), strides,
-            padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=groups,
-            preferred_element_type=jnp.float32)
+        # Stem-shaped convs (cin <= 4): compute on a float MXU path.
+        # EXACT either way: int8 magnitudes are integers <= 127 (exact in
+        # bf16's 8 significand bits and trivially in f32), products
+        # accumulate in f32, and worst-case |acc| = K*127^2 < 2^24 stays
+        # inside f32's integer range, so the accumulator equals the int32
+        # one bit-for-bit (tests/kernels/test_qconv.py).
+        # WHY float at all: XLA lowers tiny-cin int8 convs with batch
+        # minormost (64 of 128 lanes) + a relayout copy (round 3: bf16
+        # stem 3.52 -> 3.48 ms whole-graph).
+        # WHY f32 when the quantize is fused (round 4, v5e-1 2026-08-21,
+        # standalone stem A/B): the fused-quantize output IS an
+        # int-valued f32 tensor, and feeding it straight to the f32 conv
+        # emitter skips the f32->bf16 convert AND the bf16 (2,1)-packing
+        # relayout copy: 0.487 ms vs 0.756 ms bf16 (bit-exact, XLA's
+        # 3-pass f32 decomposition is exact for <=127-int values whose
+        # bf16 hi-split has zero lo residue).
+        if "s_in" in node.attrs:
+            acc = lax.conv_general_dilated(
+                x_q, w_q.astype(jnp.float32), strides,
+                padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=groups,
+                preferred_element_type=jnp.float32)
+        else:
+            acc = lax.conv_general_dilated(
+                x_q.astype(jnp.bfloat16), w_q.astype(jnp.bfloat16), strides,
+                padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=groups,
+                preferred_element_type=jnp.float32)
     elif _int_mode() == "int":
         acc = lax.conv_general_dilated(
             x_q, w_q, strides, padding,

@@ -7,6 +7,12 @@ from typing import Callable
 
 from ..graph.ir import Graph
 
+# Bump when any builder's emitted graph changes shape/attrs/ops: cached
+# /tmp artifacts are keyed on this so benches never measure a stale graph
+# (round 4: an SSD bench silently ran a round-3 artifact with the old NMS
+# attrs and no qlrn nodes)
+ZOO_VERSION = 4
+
 _REGISTRY: dict[str, Callable[..., Graph]] = {}
 
 

@@ -55,8 +55,10 @@ def main(argv=None) -> int:
     g = get_model(args.model, batch=args.batch, image=args.image,
                   classes=args.classes)
     if args.checkpoint:
-        from safetensors.numpy import load_file
-        params = load_file(args.checkpoint)
+        # any supported format/naming: flat safetensors/npz, torch .pth
+        # state_dicts (torchvision naming), keras dicts, .caffemodel
+        from .importers import load_checkpoint
+        params = load_checkpoint(args.checkpoint, g)
     else:
         params = init_params(g, seed=args.seed)
     if args.model == "ssd":

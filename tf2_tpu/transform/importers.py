@@ -212,6 +212,61 @@ def import_flat(state: Mapping, graph: Graph) -> dict:
     return out
 
 
+_TV_IMPORTERS = {
+    "resnet50": import_torchvision_resnet50,
+    "squeezenet_v1_1": import_torchvision_squeezenet1_1,
+    "googlenet": import_torchvision_googlenet,
+}
+
+
+def load_checkpoint(path: str, graph: Graph) -> dict:
+    """Load ANY supported checkpoint file and map it onto ``graph``'s
+    params — the single entry point the CLI and eval harness use
+    (VERDICT r3 task 9: the path the driver exercises the day real
+    weights appear).
+
+    File formats: ``.safetensors`` (numpy), torch ``.pth``/``.pt``/
+    ``.bin`` (torch.load, CPU; a nested ``state_dict`` key is unwrapped),
+    ``.npz``, ``.caffemodel`` (transform/caffe.py wire parser).
+    Naming: our flat names are used directly; otherwise the importer for
+    the graph's model family is applied (torchvision/Keras detection by
+    key shape)."""
+    import os
+
+    if path.endswith(".caffemodel"):
+        from .caffe import (googlenet_name_map, import_caffe,
+                            parse_caffemodel, squeezenet_v1_1_name_map)
+        with open(path, "rb") as f:
+            layers = parse_caffemodel(f.read())
+        nmap = (googlenet_name_map() if graph.name.startswith("googlenet")
+                else squeezenet_v1_1_name_map())
+        return import_caffe(layers, graph, nmap)
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        state: Mapping = load_file(path)
+    elif path.endswith(".npz"):
+        state = dict(np.load(path))
+    else:  # torch pickle formats
+        import torch
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(raw, Mapping) and "state_dict" in raw:
+            raw = raw["state_dict"]
+        state = raw
+
+    keys = set(state.keys())
+    if set(graph.params) <= keys:
+        return import_flat(state, graph)
+    if any("/" in k for k in keys):  # keras naming (conv1_conv/kernel)
+        return import_keras_resnet50(state, graph)
+    name = graph.name.split("_pruned")[0]
+    for family, fn in _TV_IMPORTERS.items():
+        if name.startswith(family) or name == family:
+            return fn(state, graph)
+    raise ValueError(
+        f"cannot infer importer for checkpoint {os.path.basename(path)} "
+        f"(graph {graph.name!r}); keys like {sorted(keys)[:4]}")
+
+
 def _check_against_graph(params: dict, graph: Graph) -> None:
     missing = sorted(set(graph.params) - set(params))
     if missing:

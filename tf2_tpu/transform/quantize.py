@@ -40,6 +40,14 @@ class QuantSpec:
     pot_candidates: int = 33
     bias_correct: bool = True         # fold mean quant error into eff_bias
                                       # (transform/bias_correct.py)
+    equalize_concat: bool = True      # force concat-branch producers onto
+                                      # the concat's scale so qconcat is a
+                                      # PURE concat (no per-input rescale
+                                      # chains; GoogLeNet's 9 inception
+                                      # concats each rescale up to 4 int8
+                                      # tensors otherwise). Producers'
+                                      # eff_scales absorb the change; only
+                                      # single-consumer inputs are touched
 
 
 @dataclasses.dataclass
@@ -74,6 +82,22 @@ def quantize_graph(graph: Graph, params: Mapping[str, np.ndarray],
     graph.validate()
     node_map = graph.node_map()
     consumers = graph.consumers()
+
+    if spec.equalize_concat:
+        # Rescale-free concats: every single-consumer input of a concat is
+        # re-calibrated to the concat's own scale. The branch conv's
+        # epilogue then emits int8 directly on the concat grid (eff_scale
+        # absorbs it) and dispatch.qconcat's |si - so| < 1e-12 fast path
+        # makes the concat a byte-copy. Branch ranges in inception blocks
+        # are near-identical, so the coarser grid costs little accuracy
+        # (golden rel_err measured before/after in BASELINE.md §4.2).
+        act_scales = dict(act_scales)
+        for node in graph.nodes:
+            if node.op != "concat" or node.name not in act_scales:
+                continue
+            for i in node.inputs:
+                if i in act_scales and len(consumers.get(i, [])) == 1:
+                    act_scales[i] = act_scales[node.name]
 
     first_names = {n.name for n in graph.nodes
                    if n.op in ("conv2d", "dense") and
