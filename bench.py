@@ -79,6 +79,10 @@ def main():
         "batch": BATCH,
         "p50_batch1_ms": round(lat["latency_s"] * 1e3, 3),
         "device": str(jax.devices()[0]),
+        # round-4 context: b64 timing is now CHECKED two-point (the r3
+        # methodology read ~+2-13% flattering); full-zoo rows live in
+        # BASELINE.md §4.1 (GoogLeNet 2.0x, SSD 1.5x vs round 3)
+        "timing": "checked_two_point",
     }
     print(json.dumps(result))
 
