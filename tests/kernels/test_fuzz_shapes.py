@@ -112,3 +112,28 @@ def test_qattention_fuzz():
         diff = np.abs(np.asarray(out, np.int32) - np.asarray(ref, np.int32))
         assert diff.max() <= 1, (t, heads, hd, diff.max())
         assert (diff == 0).mean() >= 0.999
+
+
+def test_qlrn_fuzz():
+    """Ragged (M, C) sweep for the fused LRN kernel vs its banded-conv
+    reference (kernels/qlrn.py). Must be <=1 quantum everywhere or a
+    clean None refusal — never wrong, never crashed."""
+    from tf2_tpu.kernels.qlrn import fused_qlrn, reference_qlrn
+
+    rng = np.random.RandomState(11)
+    for shape, radius, beta in (
+            ((1, 3, 3, 8), 2, 0.75),       # tiny spatial, tiny C
+            ((2, 7, 5, 17), 1, 0.75),      # odd everything
+            ((3, 4, 4, 130), 2, 0.75),     # C > 128 lanes
+            ((1, 9, 9, 96), 3, 0.5),       # generic-beta pow path
+            ((5, 1, 1, 64), 2, 0.75)):     # single pixel rows
+        x = jnp.asarray(rng.randint(-127, 128, shape), jnp.int8)
+        kw = dict(radius=radius, alpha=3e-4, beta=beta, bias=1.0,
+                  s_in=0.041, s_out=0.037)
+        out = fused_qlrn(x, interpret=True, **kw)
+        if out is None:
+            continue  # clean refusal
+        ref = reference_qlrn(x, **kw)
+        diff = np.abs(np.asarray(out, np.int32) - np.asarray(ref, np.int32))
+        assert diff.max() <= 1, (shape, diff.max())
+        assert (diff == 0).mean() >= 0.995, (shape, (diff == 0).mean())
