@@ -86,7 +86,12 @@ def parse_hlo_computations(txt: str) -> dict:
             if line.strip() == "}":
                 cur = None
             continue
-        im = re.match(r"\s+(?:ROOT )?%([\w.\-]+) = (\S+) ([\w\-]+)\(", line)
+        # shape is either a single `s8[...]{...}` token or a TUPLE
+        # `(f32[...], s8[...])` for multi-output fusions — the ViT MLP
+        # mega-fusions are tuple-shaped and were silently skipped before
+        im = re.match(r"\s+(?:ROOT )?%([\w.\-]+) = "
+                      r"(\((?:[^()]+|\([^()]*\))*\)|\S+) "
+                      r"([\w\-]+)\(", line)
         if not im:
             continue
         name, shape, opcode = im.groups()
