@@ -69,6 +69,11 @@ OPS = {
                    "(1x1/3x3/1x1/qadd chain, kernels/qblocks.py)",
     "qlrn": "fused int8 LRN: dequantize+lrn+requantize in one pass "
             "(kernels/qlrn.py)",
+    "qgelu": "fused dequantize+gelu+quantize, int8 in/out (exact rewrite)",
+    "qlayernorm": "layer_norm on an int8 stream (scale-invariant "
+                  "normalization; affine+requant fused in-register)",
+    "qbias_add": "bias/pos-embed add on the int8 grid (param pre-divided "
+                 "by out_scale at quantize time)",
 }
 
 

@@ -64,3 +64,18 @@ def _qconcat(node, params, *xs):
 @register_op("qlrn")
 def _qlrn(node, params, x):
     return dispatch.qlrn(node, params, x)
+
+
+@register_op("qgelu")
+def _qgelu(node, params, x):
+    return dispatch.qgelu(node, params, x)
+
+
+@register_op("qlayernorm")
+def _qlayernorm(node, params, x):
+    return dispatch.qlayernorm(node, params, x)
+
+
+@register_op("qbias_add")
+def _qbias_add(node, params, x):
+    return dispatch.qbias_add(node, params, x)

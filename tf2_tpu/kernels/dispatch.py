@@ -360,6 +360,49 @@ def _route_lrn(xshape) -> bool:
     return autotune.route(f"lrn:m{m}:c{c}") == "pallas"
 
 
+def qgelu(node: Node, params, x_q: jax.Array) -> jax.Array:
+    """Fused dequantize -> gelu -> quantize (transform/quantize.py's
+    int8-resident transformer path). Bit-identical to the unfused triple —
+    same f32 ops in the same order — but keeps the (N,T,4*dim) MLP hidden
+    tensor int8 at the fusion boundary instead of round-tripping f32
+    through HBM (PROFILE_TRACE_vit_b16.json r4: the LN/GELU/dq glue
+    fusions cost 12 x 419.7 us = 37% of the ViT step)."""
+    s_in, s_out = node.attrs["s_in"], node.attrs["s_out"]
+    y = jax.nn.gelu(x_q.astype(jnp.float32) * s_in)
+    return jnp.clip(jnp.round(y / s_out), -127, 127).astype(jnp.int8)
+
+
+def qlayernorm(node: Node, params, x_q: jax.Array) -> jax.Array:
+    """LayerNorm on an int8 residual stream: int8 in -> int8 out.
+
+    Normalization is scale-invariant — LN(s*x) == LN(x) up to the eps
+    term — so the int8 codes are normalized directly (no dequantize, no
+    f32 residual tensor in HBM). Exact-math equivalence to
+    dequantize->layer_norm->quantize uses eps' = eps / s_in^2:
+        (s*x - s*mu) / sqrt(s^2*var + eps) = (x - mu) / sqrt(var + eps/s^2).
+    The affine (gamma, beta) and the output quantize fold into one
+    multiply-add in-register."""
+    gamma = params[node.params[0]].astype(jnp.float32)
+    beta = params[node.params[1]].astype(jnp.float32)
+    s_in, s_out = node.attrs["s_in"], node.attrs["s_out"]
+    eps = node.attrs.get("eps", 1e-6) / (s_in * s_in)
+    xf = x_q.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * lax.rsqrt(var + eps) * (gamma / s_out) + (beta / s_out)
+    return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+
+
+def qbias_add(node: Node, params, x_q: jax.Array) -> jax.Array:
+    """Bias/positional-embedding add on the int8 grid: the param is
+    pre-divided by s_out at quantize time (transform/quantize.py), so this
+    is one fused multiply-add + requant, int8 in -> int8 out."""
+    b_over_so = params[node.params[0]].astype(jnp.float32)
+    ratio = node.attrs["s_in"] / node.attrs["s_out"]
+    y = x_q.astype(jnp.float32) * ratio + b_over_so
+    return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+
+
 def qadd(node: Node, params, a_q, b_q) -> jax.Array:
     sa, sb, so = node.attrs["sa"], node.attrs["sb"], node.attrs["so"]
     y = a_q.astype(jnp.float32) * (sa / so) + b_q.astype(jnp.float32) * (sb / so)

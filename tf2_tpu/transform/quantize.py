@@ -40,6 +40,12 @@ class QuantSpec:
     pot_candidates: int = 33
     bias_correct: bool = True         # fold mean quant error into eff_bias
                                       # (transform/bias_correct.py)
+    int8_residual: bool = True        # transformers: keep the residual
+                                      # stream int8 through layer_norm /
+                                      # gelu / bias_add (qlayernorm, qgelu,
+                                      # qbias_add) instead of dropping to
+                                      # the f32 dq/q sandwich. r4 profile:
+                                      # the f32 glue cost 37% of ViT's step
     equalize_concat: bool = True      # force concat-branch producers onto
                                       # the concat's scale so qconcat is a
                                       # PURE concat (no per-input rescale
@@ -269,6 +275,49 @@ def quantize_graph(graph: Graph, params: Mapping[str, np.ndarray],
                 val[node.name] = (node.name, s_out)
                 continue
             # fp input: fall through to the default fp path
+
+        if spec.int8_residual and node.op == "layer_norm":
+            nv, s_in = val[node.inputs[0]]
+            if s_in is not None and node.name in act_scales:
+                # int8-resident LN (dispatch.qlayernorm): normalization is
+                # scale-invariant so the int8 codes normalize directly; the
+                # affine + requant fold into one in-register FMA. Keeps the
+                # (N,T,D) residual stream int8 across the whole block.
+                s_out = float(act_scales[node.name])
+                for pname in node.params:
+                    add_param(pname, np.asarray(params[pname]))
+                new_nodes.append(Node(node.name, "qlayernorm", (nv,),
+                                      node.params,
+                                      {"eps": node.attrs.get("eps", 1e-6),
+                                       "s_in": s_in, "s_out": s_out}))
+                val[node.name] = (node.name, s_out)
+                continue
+            # fp input: fall through to the default fp path
+
+        if spec.int8_residual and node.op == "gelu":
+            nv, s_in = val[node.inputs[0]]
+            if s_in is not None and node.name in act_scales:
+                # exact fusion of dq -> gelu -> q (same f32 math): the MLP
+                # hidden (N,T,4D) tensor stays int8 at fusion boundaries
+                s_out = float(act_scales[node.name])
+                new_nodes.append(Node(node.name, "qgelu", (nv,), (),
+                                      {"s_in": s_in, "s_out": s_out}))
+                val[node.name] = (node.name, s_out)
+                continue
+
+        if spec.int8_residual and node.op == "bias_add":
+            nv, s_in = val[node.inputs[0]]
+            if s_in is not None and node.name in act_scales:
+                # bias/pos-embed add on the int8 grid; param pre-divided by
+                # s_out so the op is one FMA + requant
+                s_out = float(act_scales[node.name])
+                b = np.asarray(params[node.params[0]], np.float32)
+                p = add_param(f"{node.name}.bq",
+                              np.asarray(b / s_out, np.float32))
+                new_nodes.append(Node(node.name, "qbias_add", (nv,), (p,),
+                                      {"s_in": s_in, "s_out": s_out}))
+                val[node.name] = (node.name, s_out)
+                continue
 
         if node.op in _PASSTHROUGH:
             nv, s = val[node.inputs[0]]
