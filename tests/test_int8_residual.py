@@ -97,7 +97,10 @@ def test_vit_int8_resident_structure(tiny_vit_arts):
     _, arts = tiny_vit_arts
     art, _, _ = arts[True]
     ops = {n.op for n in art.graph.nodes}
-    assert {"qlayernorm", "qgelu", "qbias_add", "qadd"} <= ops
+    assert {"qlayernorm", "qgelu", "qbias_add"} <= ops
+    # residual adds fold into the qdense epilogues (QuantSpec.fold_residual)
+    assert any(n.op == "qdense" and len(n.inputs) == 2
+               for n in art.graph.nodes)
     # no fp glue inside the blocks: every layer_norm/gelu/add is quantized
     assert "layer_norm" not in ops and "gelu" not in ops and "add" not in ops
     # the only dequantize left sits in the head (gap -> classifier)

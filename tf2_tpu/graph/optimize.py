@@ -81,6 +81,224 @@ def fuse_stem_quantize(graph: Graph, params) -> tuple[Graph, dict]:
     return g, dict(params)
 
 
+def pack_phase_stem(graph: Graph, params) -> tuple[Graph, dict]:
+    """W-axis pair-packing for strided cin<=4 stems — the round-5 answer
+    to the stem question (VERDICT r4 task 2; BASELINE.md §4.6).
+
+    A k×k/s2 conv on (B,H,W,cin<=4) maps terribly onto the MXU: XLA's
+    emitter keeps batch minormost for cin<64 and pays relayout converts
+    (ResNet conv1: 532 us in-graph vs a ~150 us floor). Packing 2
+    consecutive W-pixels into channels (W' = W/2, cin' = 2*cin) makes
+    the W stride exactly ONE GROUP STEP, so the conv becomes a single
+    stride-(2,1) conv with kernel (k, ceil(k/2), 2*cin, cout) — no
+    output phases, canonical NHWC output, nothing downstream perturbed.
+    Tap j of output ox sits at packed position 2*ox + j = group ox+b,
+    in-pair pixel dw with j = 2b + dw.
+
+    Bit-exact: quantized values are integers <= 127 (exact in bf16),
+    accumulation f32, K*127^2 < 2^24. Measured v5e-1 2026-08-21,
+    standalone conv1 B=64: 543 us vs 631 us shipped f32 path; whole-graph
+    ResNet-50 b64 3.52 -> 3.44 ms. Richer packings are FASTER standalone
+    but poison the graph: S=8 phase-packing (K=336, 4 phase banks,
+    zero-copy un-phase reshape) reads 378 us alone but the downstream
+    maxpool inherits the phase layout and reduce_window explodes
+    (102 -> 1,592 us; whole-graph 3.52 -> 4.91 ms), and phase-space
+    pooling via 64-lane slices costs 4.2 ms of lane shifts. The pair
+    packing keeps all of the layout fix that matters and none of the
+    boundary damage.
+
+    Runs at engine load AFTER fuse_stem_quantize (needs the fused s_in —
+    the packed path quantizes values in-register)."""
+    from .shapes import activation_shapes
+
+    try:
+        shapes = activation_shapes(graph, params)
+    except Exception:
+        return graph, dict(params)
+    new_nodes: list[Node] = []
+    new_params = dict(params)
+    new_specs = dict(graph.params)
+    changed = False
+    for n in graph.nodes:
+        if not (n.op == "qconv2d" and "s_in" in n.attrs
+                and n.attrs.get("wfmt") == "int8"
+                and tuple(n.attrs.get("strides", [1, 1])) == (2, 2)
+                and n.attrs.get("groups", 1) == 1):
+            new_nodes.append(n)
+            continue
+        kh, kw, cin, cout = n.attrs["kshape"]
+        xshape = shapes.get(n.inputs[0])
+        pad = n.attrs.get("padding", "SAME")
+        if (xshape is None or cin > 4 or kh != kw
+                or pad not in ("SAME", "VALID")):
+            new_nodes.append(n)
+            continue
+        _, h, w, _ = xshape
+        if pad == "SAME":
+            ow = -(-w // 2)
+            tot_w = max(0, (ow - 1) * 2 + kw - w)
+            lo_w = tot_w // 2
+            oh = -(-h // 2)
+            tot_h = max(0, (oh - 1) * 2 + kh - h)
+            lo_h, hi_h = tot_h // 2, tot_h - tot_h // 2
+        else:
+            ow = (w - kw) // 2 + 1
+            oh = (h - kh) // 2 + 1
+            lo_w = lo_h = hi_h = 0
+        t_w = (kw + 1) // 2                  # W' kernel taps (pairs)
+        wq = np.asarray(params[n.params[0]])  # (kh,kw,cin,cout) int8
+        wp = np.zeros((kh, t_w, 2 * cin, cout), np.int8)
+        for j in range(kw):
+            b_, dw = divmod(j, 2)
+            wp[:, b_, dw * cin:(dw + 1) * cin, :] = wq[:, j, :, :]
+        wpad = 2 * (ow - 1 + t_w)
+        names = (f"{n.name}.wpack",) + tuple(n.params[1:])
+        new_params[names[0]] = wp
+        new_specs[names[0]] = TensorSpec(wp.shape, "int8")
+        new_params.pop(n.params[0], None)
+        new_specs.pop(n.params[0], None)
+        attrs = dict(n.attrs, wfmt="wpack2", pack_kshape=list(wp.shape),
+                     pack_pad_w=[lo_w, wpad - w - lo_w],
+                     pack_pad_h=[lo_h, hi_h], pack_ow=ow, pack_oh=oh)
+        new_nodes.append(Node(n.name, "qconv2d", n.inputs, names, attrs))
+        changed = True
+    if not changed:
+        return graph, dict(params)
+    g = Graph(graph.name, dict(graph.inputs), graph.outputs, new_nodes,
+              new_specs, dict(graph.meta))
+    g.validate()
+    return g, new_params
+
+
+def patchify_stem(graph: Graph, params) -> tuple[Graph, dict]:
+    """conv2d with stride == kernel (non-overlapping patches — the ViT
+    patch embedding) is EXACTLY a reshape/transpose/reshape + dense: every
+    output position reads every input element of its patch once, so
+    out[b, oy, ox, :] = patch(b, oy, ox) @ W.reshape(kh*kw*cin, cout).
+
+    Why: XLA's conv emitter keeps batch minormost (64 of 128 lanes) for
+    any cin < 64 conv and pays relayout copies around it (BASELINE.md
+    §3.9, the stem pathology). As a dense, the MXU sees K = kh*kw*cin
+    (768 for ViT-B/16) on proper lanes. Measured v5e-1 2026-08-21: the
+    in-graph patch_embed group cost 375 us/step b64 as a conv; the dense
+    form ~170 us (see BASELINE.md §4.6).
+
+    Runs on the FOLDED FP graph (transform/pipeline.py) so calibration
+    and quantization see the dense. Exact in fp32 up to dot-vs-conv
+    accumulation order."""
+    from .shapes import activation_shapes
+
+    try:
+        shapes = activation_shapes(graph, params)
+    except Exception:
+        return graph, dict(params)
+    new_nodes: list[Node] = []
+    new_params = dict(params)
+    new_specs = dict(graph.params)
+    changed = False
+    for n in graph.nodes:
+        if n.op != "conv2d":
+            new_nodes.append(n)
+            continue
+        w = np.asarray(params[n.params[0]])
+        kh, kw, cin, cout = w.shape
+        sh, sw = n.attrs.get("strides", [1, 1])
+        pad = n.attrs.get("padding", "SAME")
+        xshape = shapes.get(n.inputs[0])
+        if (xshape is None or (sh, sw) != (kh, kw) or (kh, kw) == (1, 1)
+                or n.attrs.get("groups", 1) != 1
+                or xshape[1] % kh or xshape[2] % kw
+                or (pad != "VALID" and not (pad == "SAME"))):
+            new_nodes.append(n)
+            continue
+        b_, h, wd, _ = xshape
+        oh, ow = h // kh, wd // kw
+        r1 = f"{n.name}__p1"
+        tr = f"{n.name}__pt"
+        r2 = f"{n.name}__p2"
+        new_nodes.append(Node(r1, "reshape", (n.inputs[0],), (),
+                              {"shape": [b_, oh, kh, ow, kw, cin],
+                               "batch_leading": True}))
+        new_nodes.append(Node(tr, "transpose", (r1,), (),
+                              {"perm": [0, 1, 3, 2, 4, 5]}))
+        new_nodes.append(Node(r2, "reshape", (tr,), (),
+                              {"shape": [b_, oh, ow, kh * kw * cin],
+                               "batch_leading": True}))
+        new_nodes.append(Node(n.name, "dense", (r2,), n.params, {}))
+        w2d = w.reshape(kh * kw * cin, cout)
+        new_params[n.params[0]] = w2d
+        new_specs[n.params[0]] = TensorSpec(w2d.shape, str(w2d.dtype))
+        changed = True
+    if not changed:
+        return graph, dict(params)
+    g = Graph(graph.name, dict(graph.inputs), graph.outputs, new_nodes,
+              new_specs, dict(graph.meta))
+    g.validate()
+    return g, new_params
+
+
+def hoist_input_quantize(graph: Graph, params) -> tuple[Graph, dict]:
+    """Move quantize nodes UP through single-consumer reshape / transpose /
+    flatten chains so the layout copies move int8 bytes (4x less HBM
+    traffic than f32). Quantize is elementwise, these ops are permutations
+    — exact commutation. Main beneficiary: the patchified ViT stem, whose
+    patch transpose otherwise runs on the f32 image."""
+    _LAYOUT = {"reshape", "transpose", "flatten"}
+    node_map = {n.name: n for n in graph.nodes}
+    consumers: dict[str, list[str]] = {}
+    for n in graph.nodes:
+        for i in n.inputs:
+            consumers.setdefault(i, []).append(n.name)
+    outputs = set(graph.outputs)
+    moved = False
+    nodes = list(graph.nodes)
+    for q in [n for n in nodes if n.op == "quantize"]:
+        chain: list[Node] = []
+        cur = q.inputs[0]
+        while (cur in node_map and node_map[cur].op in _LAYOUT
+               and len(consumers.get(cur, [])) == 1
+               and cur not in outputs):
+            chain.append(node_map[cur])
+            cur = node_map[cur].inputs[0]
+        if not chain:
+            continue
+        # chain[-1] reads `cur` (source); q reads chain[0]
+        src = cur
+        top = chain[-1]
+        # rewire: q reads src; top reads q; q's consumers read chain[0]
+        for cname in consumers.get(q.name, []):
+            c = node_map[cname]
+            node_map[cname] = Node(c.name, c.op,
+                                   tuple(chain[0].name if i == q.name else i
+                                         for i in c.inputs),
+                                   c.params, c.attrs)
+        node_map[q.name] = Node(q.name, "quantize", (src,), (), dict(q.attrs))
+        node_map[top.name] = Node(top.name, top.op, (q.name,), top.params,
+                                  dict(top.attrs))
+        moved = True
+    if not moved:
+        return graph, dict(params)
+    # rebuild in topological order: emit q right before its (new) consumer
+    order: list[Node] = []
+    emitted: set[str] = set(graph.inputs)
+    remaining = {n.name: node_map[n.name] for n in graph.nodes}
+    while remaining:
+        progress = False
+        for name in list(remaining):
+            n = remaining[name]
+            if all(i in emitted or i not in remaining for i in n.inputs):
+                order.append(n)
+                emitted.add(name)
+                del remaining[name]
+                progress = True
+        if not progress:  # cycle — bail out, return original
+            return graph, dict(params)
+    g = Graph(graph.name, dict(graph.inputs), graph.outputs, order,
+              dict(graph.params), dict(graph.meta))
+    g.validate()
+    return g, dict(params)
+
+
 def fuse_lrn_quantize(graph: Graph, params) -> tuple[Graph, dict]:
     """Fold dequantize -> lrn -> quantize into one ``qlrn`` node
     (kernels/qlrn.py: int8 in, int8 out, one pass over the tensor).

@@ -37,8 +37,8 @@ def _qconv2d(node, params, x):
 
 
 @register_op("qdense")
-def _qdense(node, params, x):
-    return dispatch.qdense(node, params, x)
+def _qdense(node, params, x, r=None):
+    return dispatch.qdense(node, params, x, r)
 
 
 @register_op("qattention_core")

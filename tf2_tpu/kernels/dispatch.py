@@ -135,6 +135,26 @@ def _stem_bf16_applies(node: Node) -> bool:
 def qconv2d(node: Node, params, x_q: jax.Array) -> jax.Array:
     eff_scale = params[node.params[1]]
     eff_bias = params[node.params[2]]
+    if node.attrs.get("wfmt") == "wpack2":
+        # W-axis pair-packed stem (graph/optimize.pack_phase_stem;
+        # BASELINE.md §4.6): quantize values in-register, pad+pack 2
+        # W-pixels into channels (zero-copy reshape), ONE bf16 conv with
+        # stride (2,1) — the W stride is exactly one group step, so the
+        # output is canonical NHWC with no phase un-interleave. Bit-exact:
+        # int-valued operands <= 127 are exact in bf16, f32 accumulation.
+        b_, h, w, cin = x_q.shape
+        lo_w, hi_w = node.attrs["pack_pad_w"]
+        xq = jnp.clip(jnp.round(x_q.astype(jnp.float32)
+                                / node.attrs["s_in"]), -127, 127)
+        xp = jnp.pad(xq, ((0, 0), (0, 0), (lo_w, hi_w), (0, 0)))
+        xp = xp.reshape(b_, h, (w + lo_w + hi_w) // 2, 2 * cin)
+        acc = lax.conv_general_dilated(
+            xp.astype(jnp.bfloat16),
+            params[node.params[0]].astype(jnp.bfloat16),
+            (2, 1), (tuple(node.attrs["pack_pad_h"]), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return _epilogue(acc, eff_scale, eff_bias, node.attrs["relu"])
     if "s_in" in node.attrs:
         # fused input quantize (graph/optimize.fuse_stem_quantize): x is
         # the raw f32 image; quantize VALUES here so the whole chain
@@ -209,10 +229,26 @@ def qconv2d(node: Node, params, x_q: jax.Array) -> jax.Array:
     return _epilogue(acc, eff_scale, eff_bias, node.attrs["relu"])
 
 
-def qdense(node: Node, params, x_q: jax.Array) -> jax.Array:
+def qdense(node: Node, params, x_q: jax.Array,
+           r_q: jax.Array | None = None) -> jax.Array:
     eff_scale = params[node.params[1]]
     eff_bias = params[node.params[2]]
     lead = x_q.shape[:-1]
+
+    if r_q is not None:
+        # residual folded into the epilogue (QuantSpec.fold_residual):
+        # one fused pass, es/eb already requantized onto the add's grid
+        w_q = decode_weight(node, params)
+        if _int_mode() == "int":
+            acc = jnp.dot(x_q, w_q, preferred_element_type=jnp.int32)
+        else:
+            acc = jnp.dot(x_q.astype(jnp.float32), w_q.astype(jnp.float32),
+                          preferred_element_type=jnp.float32).astype(jnp.int32)
+        y = (acc.astype(jnp.float32) * eff_scale + eff_bias
+             + r_q.astype(jnp.float32) * node.attrs["radd_scale"])
+        if node.attrs.get("relu"):
+            y = jnp.maximum(y, 0.0)
+        return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
 
     if route_dense(x_q.shape, tuple(node.attrs["kshape"]), node.attrs["wfmt"]):
         from . import shift_matmul

@@ -11,7 +11,7 @@ from ..graph.ir import Graph
 # /tmp artifacts are keyed on this so benches never measure a stale graph
 # (round 4: an SSD bench silently ran a round-3 artifact with the old NMS
 # attrs and no qlrn nodes)
-ZOO_VERSION = 5  # r5: int8-resident transformer glue (qlayernorm/qgelu)
+ZOO_VERSION = 7  # r5: + patchified ViT stem (stride==kernel conv -> dense)
 
 _REGISTRY: dict[str, Callable[..., Graph]] = {}
 

@@ -102,7 +102,7 @@ class Engine:
     def __init__(self, graph: Graph, params: Mapping[str, np.ndarray],
                  mesh: MeshConfig | None = None, predecode: bool = True,
                  optimize: bool = False, block_fusion: bool = False,
-                 donate_inputs: bool = False):
+                 donate_inputs: bool = False, phase_stem: bool = True):
         # optimize=True applies the space_to_depth stem rewrite
         # (graph/optimize.py). Measured on v5e-1 (2026-08-19, ResNet-50
         # b64, interleaved A/B): s2d 4.09/4.17 ms vs plain 3.66/3.57 ms —
@@ -121,11 +121,21 @@ class Engine:
             # fold the input quantize into the stem conv fusion (exact;
             # drops the int8 image materialization + its layout copy —
             # see graph/optimize.fuse_stem_quantize)
-            from ..graph.optimize import fuse_lrn_quantize, fuse_stem_quantize
+            from ..graph.optimize import (fuse_lrn_quantize,
+                                          fuse_stem_quantize,
+                                          hoist_input_quantize)
             graph, params = fuse_stem_quantize(graph, params)
             # dequantize->lrn->quantize => one-pass int8 qlrn
             # (kernels/qlrn.py; GoogLeNet b64 LRN traffic 860 -> ~100 us)
             graph, params = fuse_lrn_quantize(graph, params)
+            # quantize commutes with reshape/transpose: run the patchified
+            # ViT stem's layout copies on int8 bytes, not the f32 image
+            graph, params = hoist_input_quantize(graph, params)
+            if phase_stem:
+                # W-s2d phase packing for strided cin<=4 stems (measured
+                # whole-graph win on the CNN zoo — BASELINE.md §4.6)
+                from ..graph.optimize import pack_phase_stem
+                graph, params = pack_phase_stem(graph, params)
         if block_fusion:
             # fuse stride-1 bottleneck runs into qblockchain nodes
             # (kernels/qblocks.py) — measured per-platform before

@@ -73,10 +73,20 @@ def bias_correct(art, folded_graph, folded_params: Mapping,
             y_fp = np.asarray(env[fp_out_name], np.float64)
             x_q = jnp.clip(jnp.round(x_fp / s_in), -127, 127
                            ).astype(jnp.int8)
+            args = [x_q]
+            if len(node.inputs) > 1:
+                # residual-folded qdense (QuantSpec.fold_residual): the
+                # node's fp output is the ADD's output, so the teacher-
+                # forced replay must include the quantized residual —
+                # omitting it would fold the whole residual mean into eb
+                s_r = float(node.attrs["radd_scale"]) * s_out
+                r_fp = env[_fp_name(node.inputs[1])]
+                args.append(jnp.clip(jnp.round(r_fp / s_r), -127, 127
+                                     ).astype(jnp.int8))
             prev = dispatch._USE_PALLAS
             dispatch.set_use_pallas(False)
             try:
-                y_q = np.asarray(impl(pre, qparams, x_q), np.float64) * s_out
+                y_q = np.asarray(impl(pre, qparams, *args), np.float64) * s_out
             finally:
                 dispatch.set_use_pallas(prev)
             diff = (y_fp - y_q).reshape(-1, y_fp.shape[-1])

@@ -29,6 +29,12 @@ def transform_model(graph: Graph, params: dict, batches: Iterable[dict],
     if pspec is not None and pspec.fraction > 0:
         graph, params, _ = prune_channels(graph, params, pspec)
     fg, fp = fold_batch_norm(graph, params)
+    # stride==kernel convs (ViT patch embedding) -> layout ops + dense:
+    # exact, and sidesteps the conv emitter's cin<4 lane pathology
+    # (graph/optimize.patchify_stem; run pre-calibration so the quantizer
+    # sees a dense)
+    from ..graph.optimize import patchify_stem
+    fg, fp = patchify_stem(fg, fp)
     batches = list(batches)
     scales = calibrate(fg, fp, batches, estimator=qspec.act_estimator)
     art = quantize_graph(fg, fp, scales, qspec)

@@ -46,6 +46,17 @@ class QuantSpec:
                                       # qbias_add) instead of dropping to
                                       # the f32 dq/q sandwich. r4 profile:
                                       # the f32 glue cost 37% of ViT's step
+    fold_residual: bool = True        # qadd(x, qdense_out) with a single-
+                                      # consumer dense: requant the dense
+                                      # straight to the add's grid and add
+                                      # the residual inside the epilogue —
+                                      # deletes a standalone int8 pass over
+                                      # the (N,T,D) stream per residual
+                                      # (24 passes/step in ViT-B/16). One
+                                      # fewer intermediate rounding than
+                                      # the unfused pair (slightly MORE
+                                      # accurate; semantics live in the
+                                      # artifact so all backends agree)
     equalize_concat: bool = True      # force concat-branch producers onto
                                       # the concat's scale so qconcat is a
                                       # PURE concat (no per-input rescale
@@ -105,9 +116,16 @@ def quantize_graph(graph: Graph, params: Mapping[str, np.ndarray],
                 if i in act_scales and len(consumers.get(i, [])) == 1:
                     act_scales[i] = act_scales[node.name]
 
+    # "first layer" = first conv/dense on any path from a graph input,
+    # tracing through layout/passthrough ops (the patchified ViT stem puts
+    # reshape/transpose between the image and its embedding dense)
+    from_input = set(graph.inputs)
+    for n in graph.nodes:
+        if n.op in _PASSTHROUGH and n.inputs[0] in from_input:
+            from_input.add(n.name)
     first_names = {n.name for n in graph.nodes
                    if n.op in ("conv2d", "dense") and
-                   any(i in graph.inputs for i in n.inputs)}
+                   any(i in from_input for i in n.inputs)}
     last_name = next((n.name for n in reversed(graph.nodes)
                       if n.op in ("conv2d", "dense")), None)
 
@@ -219,6 +237,45 @@ def quantize_graph(graph: Graph, params: Mapping[str, np.ndarray],
                 s_out = float(act_scales[out_name])
                 a, _ = get_q8(node.inputs[0])
                 bq, _ = get_q8(node.inputs[1])
+                if spec.fold_residual:
+                    folded = False
+                    for d_orig, r_new, s_r in ((node.inputs[1], a, sa),
+                                               (node.inputs[0], bq, sb)):
+                        nv, s_mid = val[d_orig]
+                        if s_mid is None or d_orig in graph.outputs or \
+                                len(consumers.get(d_orig, [])) != 1:
+                            continue
+                        idx = next((i for i in range(len(new_nodes) - 1, -1, -1)
+                                    if new_nodes[i].name == nv), None)
+                        if idx is None or new_nodes[idx].op != "qdense":
+                            continue
+                        cand = new_nodes[idx]
+                        if cand.attrs.get("relu"):
+                            # relu-before-add: the epilogue applies relu
+                            # once at the end, which would change
+                            # relu(d)+r into relu(d+r) — don't fold
+                            continue
+                        # requant the dense directly onto the add's grid
+                        # (skip the intermediate s_mid rounding) and add
+                        # the residual in-epilogue: one fused pass
+                        ratio = np.float32(s_mid / s_out)
+                        new_params[cand.params[1]] = np.asarray(
+                            new_params[cand.params[1]] * ratio, np.float32)
+                        new_params[cand.params[2]] = np.asarray(
+                            new_params[cand.params[2]] * ratio, np.float32)
+                        attrs = dict(cand.attrs)
+                        attrs.update(out_scale=s_out,
+                                     radd_scale=float(s_r / s_out),
+                                     relu=has_relu)
+                        new_nodes[idx] = Node(out_name, "qdense",
+                                              (cand.inputs[0], r_new),
+                                              cand.params, attrs)
+                        val[out_name] = (out_name, s_out)
+                        val[d_orig] = (out_name, s_out)
+                        folded = True
+                        break
+                    if folded:
+                        continue
                 new_nodes.append(Node(out_name, "qadd", (a, bq), (),
                                       {"sa": sa, "sb": sb, "so": s_out,
                                        "relu": has_relu}))
