@@ -67,6 +67,7 @@ def main():
     stats = eng.benchmark(iters=15, reps=3, checked=True, image=x)
     time.sleep(2)
     stats2 = eng.benchmark(iters=15, reps=3, checked=True, image=x)
+    samples = sorted([stats["throughput_per_s"], stats2["throughput_per_s"]])
     if stats2["throughput_per_s"] > stats["throughput_per_s"]:
         stats = stats2
 
@@ -90,7 +91,11 @@ def main():
         # round-4 context: b64 timing is now CHECKED two-point (the r3
         # methodology read ~+2-13% flattering); full-zoo rows live in
         # BASELINE.md §4.1 (GoogLeNet 2.0x, SSD 1.5x vs round 3)
-        "timing": "checked_two_point",
+        # name the best-of-2 selection and report both samples so the
+        # artifact doesn't understate the upward-bias methodology
+        # (ADVICE r4)
+        "timing": "checked_two_point_best_of_2",
+        "samples_img_s": [round(s, 1) for s in samples],
     }
     print(json.dumps(result))
 

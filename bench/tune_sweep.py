@@ -34,8 +34,6 @@ def ensure_artifact(art: str, model: str, wbits: int = 4):
         import shutil
         shutil.rmtree(art)
     os.makedirs(art, exist_ok=True)
-    with open(stamp, "w") as f:
-        f.write("")
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     image = "256" if model == "ssd" else "224"  # SSD heads need 64 | image
@@ -47,6 +45,10 @@ def ensure_artifact(art: str, model: str, wbits: int = 4):
     if r.returncode != 0:
         sys.stderr.write(r.stdout + r.stderr)
         raise RuntimeError("transform stage failed")
+    # stamp only AFTER the transform succeeded — a stamp written first
+    # would make a partial artifact look valid to later runs (ADVICE r4)
+    with open(stamp, "w") as f:
+        f.write("")
 
 
 def main(argv=None):

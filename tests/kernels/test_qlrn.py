@@ -13,7 +13,7 @@ from tf2_tpu.kernels.qlrn import fused_qlrn, reference_qlrn
 
 @pytest.mark.parametrize("shape,radius,beta", [
     ((2, 8, 8, 64), 2, 0.75),
-    ((1, 14, 14, 192), 2, 0.75),
+    ((2, 16, 16, 192), 2, 0.75),
     ((2, 8, 8, 96), 1, 0.5),     # generic-beta pow path
 ])
 def test_qlrn_kernel_matches_reference(shape, radius, beta):
@@ -30,6 +30,15 @@ def test_qlrn_kernel_matches_reference(shape, radius, beta):
     # representation boundaries on isolated elements
     assert diff.max() <= 1
     assert (diff == 0).mean() > 0.999
+
+
+def test_qlrn_refuses_degenerate_block():
+    """Odd M degrades the block fallback toward 1-row blocks; the kernel
+    must refuse (ADVICE r4) so dispatch takes the reference path."""
+    x = jnp.zeros((1, 14, 14, 192), jnp.int8)  # m=196 -> blk=4
+    got = fused_qlrn(x, interpret=True, radius=2, alpha=2e-4, beta=0.75,
+                     bias=1.0, s_in=0.03, s_out=0.03)
+    assert got is None
 
 
 def test_qlrn_vs_unfused_executor_chain():

@@ -311,6 +311,11 @@ def _space_to_depth(node: Node, params, x):
     return x.reshape(b_, h // blk, w // blk, blk * blk * c)
 
 
+@register_op("slice_c")
+def _slice_c(node: Node, params, x):
+    return lax.slice_in_dim(x, node.attrs["lo"], node.attrs["hi"], axis=-1)
+
+
 @register_op("softmax")
 def _softmax(node, params, x):
     return jax.nn.softmax(x, axis=-1)

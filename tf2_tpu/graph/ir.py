@@ -74,6 +74,8 @@ OPS = {
                   "normalization; affine+requant fused in-register)",
     "qbias_add": "bias/pos-embed add on the int8 grid (param pre-divided "
                  "by out_scale at quantize time)",
+    "slice_c": "static channel slice (last axis) — emitted by the "
+               "sibling-1x1 merge pass (graph/optimize.merge_sibling_1x1)",
 }
 
 

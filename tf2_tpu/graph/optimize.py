@@ -170,6 +170,88 @@ def pack_phase_stem(graph: Graph, params) -> tuple[Graph, dict]:
     return g, new_params
 
 
+def merge_sibling_1x1(graph: Graph, params) -> tuple[Graph, dict]:
+    """Merge sibling 1×1 qconv2d nodes that read the SAME input into one
+    wide conv + static channel slices (VERDICT r4 task 3: GoogLeNet's
+    inception heads b1/b3r/b5r all read the block input).
+
+    Exact: a 1×1 conv is a matmul over channels; concatenating the weight
+    along cout and the per-channel es/eb vectors computes the identical
+    epilogue per output channel — each branch's own out_scale lives in its
+    slice of es/eb, so downstream consumers (concat, 3×3/5×5 convs) see
+    bit-identical int8 values. Wins three ways: one read of x instead of
+    three, one wide MXU call instead of N∈{16..96} lane-starved calls
+    (inc3a: cout 16 = 12.5% lane occupancy → merged 176), one epilogue
+    pass. The slices are cheap (int8, ≤5 MB) relative to the re-reads
+    they replace.
+
+    Runs at engine load AFTER predecode (weights must be int8-decoded;
+    pot4 artifacts decode there on the XLA route)."""
+    from collections import defaultdict
+
+    groups: dict[tuple, list[Node]] = defaultdict(list)
+    for n in graph.nodes:
+        if (n.op == "qconv2d" and n.attrs.get("wfmt") == "int8"
+                and tuple(n.attrs["kshape"][:2]) == (1, 1)
+                and tuple(n.attrs.get("strides", [1, 1])) == (1, 1)
+                and n.attrs.get("groups", 1) == 1
+                and "s_in" not in n.attrs):
+            key = (n.inputs[0], bool(n.attrs.get("relu")))
+            groups[key].append(n)
+    merges = {k: v for k, v in groups.items() if len(v) >= 2}
+    if not merges:
+        return graph, dict(params)
+    new_params = dict(params)
+    new_specs = dict(graph.params)
+    replaced: dict[str, tuple[str, int, int]] = {}  # node -> (merged, lo, hi)
+    merged_nodes: dict[str, Node] = {}  # first-sibling name -> merged node
+    for (src, relu), sibs in merges.items():
+        ws, ess, ebs = [], [], []
+        lo = 0
+        for s in sibs:
+            kh, kw, cin, cout = s.attrs["kshape"]
+            ws.append(np.asarray(new_params[s.params[0]]).reshape(cin, cout))
+            ess.append(np.asarray(new_params[s.params[1]]))
+            ebs.append(np.asarray(new_params[s.params[2]]))
+            replaced[s.name] = (f"{src}__m1x1", lo, lo + cout)
+            lo += cout
+        cin = ws[0].shape[0]
+        mname = f"{src}__m1x1"
+        wm = np.concatenate(ws, axis=1).reshape(1, 1, cin, lo)
+        pn = (f"{mname}.wq", f"{mname}.es", f"{mname}.eb")
+        new_params[pn[0]] = wm.astype(np.int8)
+        new_params[pn[1]] = np.concatenate(ess).astype(np.float32)
+        new_params[pn[2]] = np.concatenate(ebs).astype(np.float32)
+        for nm in pn:
+            new_specs[nm] = TensorSpec(new_params[nm].shape,
+                                       str(new_params[nm].dtype))
+        for s in sibs:
+            for old in s.params:
+                new_params.pop(old, None)
+                new_specs.pop(old, None)
+        first = sibs[0]
+        attrs = {"relu": relu, "wfmt": "int8",
+                 "in_scale": first.attrs.get("in_scale"),
+                 "out_scales": [s.attrs.get("out_scale") for s in sibs],
+                 "strides": [1, 1], "padding": "SAME", "groups": 1,
+                 "kshape": [1, 1, cin, lo]}
+        merged_nodes[first.name] = Node(mname, "qconv2d", (src,), pn, attrs)
+    new_nodes: list[Node] = []
+    for n in graph.nodes:
+        if n.name in replaced:
+            if n.name in merged_nodes:
+                new_nodes.append(merged_nodes[n.name])
+            mname, lo, hi = replaced[n.name]
+            new_nodes.append(Node(n.name, "slice_c", (mname,), (),
+                                  {"lo": lo, "hi": hi}))
+        else:
+            new_nodes.append(n)
+    g = Graph(graph.name, dict(graph.inputs), graph.outputs, new_nodes,
+              new_specs, dict(graph.meta))
+    g.validate()
+    return g, new_params
+
+
 def patchify_stem(graph: Graph, params) -> tuple[Graph, dict]:
     """conv2d with stride == kernel (non-overlapping patches — the ViT
     patch embedding) is EXACTLY a reshape/transpose/reshape + dense: every
@@ -321,7 +403,12 @@ def fuse_lrn_quantize(graph: Graph, params) -> tuple[Graph, dict]:
     # between lrn and its quantize commute with round/clip (both
     # monotone non-decreasing; max-then-quantize == quantize-then-max),
     # so the chain dq -> lrn -> P* -> quantize rewrites to
-    # qlrn -> P*(int8) exactly
+    # qlrn -> P*(int8) exactly. One theoretical edge (ADVICE r4): a
+    # SAME-padded maxpool window made ENTIRELY of padding yields the pad
+    # identity, which is -inf in f32 (-> quantize -> -127) but -128 in
+    # int8 after the rewrite. Unreachable for every zoo pool geometry
+    # (windows always overlap real pixels: pad < window on all sides),
+    # so "exact" holds on real graphs; noted for the next geometry.
     _commuting = {"maxpool", "reshape", "flatten", "identity", "dropout",
                   "transpose", "pad"}
 

@@ -64,6 +64,13 @@ def _epilogue(xf, win, alpha: float, beta: float, bias: float,
 
 
 def _qlrn_kernel(x_ref, b_ref, o_ref, *, alpha, beta, bias, s_in, s_out):
+    # f32 sq dot against the band. Measured dead end (r5, v5e-1
+    # 2026-08-21, C=192 blk=2048): a base-128 digit split of q²
+    # (hi=q²>>7, lo=q²&127, both exact in bf16, two bf16 digit dots,
+    # exact-int window) reads 684 µs vs 476 here — the VPU digit prep +
+    # second dot cost more than the f32 dot's 3-pass decomposition
+    # saves. The kernel's remaining gap to its ~160 µs floor is Mosaic's
+    # small-N (192) dot pipeline, not the dot dtype.
     xf = x_ref[...].astype(jnp.float32) * s_in
     sq = xf * xf
     win = jax.lax.dot_general(sq, b_ref[...], (((1,), (0,)), ((), ())),
@@ -112,6 +119,14 @@ def fused_qlrn(x_q: jax.Array, *, radius: int, alpha: float, beta: float,
     # coverage: band matrix + one (blk, C) f32 working set must fit VMEM
     if c > 1024 or m < 8 or (2048 * c * 4 * 4 + c * c * 4) > (14 << 20):
         return None
+    blk = 2048
+    while m % blk:
+        blk //= 2
+    if blk < 128:
+        # odd M degrades the block fallback toward blk=1 (an M-step grid
+        # of 1-row blocks); refuse below a sane sublane-row floor and let
+        # dispatch take the reference path instead (ADVICE r4)
+        return None
     y = _qlrn_call(x_q.reshape(m, c), r=radius, alpha=float(alpha),
                    beta=float(beta), bias=float(bias), s_in=float(s_in),
                    s_out=float(s_out), interpret=interpret)
@@ -123,7 +138,15 @@ def reference_qlrn(x_q: jax.Array, *, radius: int, alpha: float,
                    s_out: float) -> jax.Array:
     """jnp reference (off-TPU executor path and XLA fallback): banded 1x1
     conv window — same math as the kernel (matmul against the same band),
-    so the two paths agree to float-associativity."""
+    so the two paths agree to float-associativity.
+
+    Measured dead end (r5, v5e-1 2026-08-21, C=192 standalone): moving
+    the window to the INT8 MXU via a base-128 digit split of q²
+    (two int8 band convs, exact) reads 962 µs vs 460 f32, and a bf16 sq
+    conv ties f32 (456) — the sink is the MATERIALIZED sq tensor the XLA
+    conv operand forces (154 MB f32), not the conv's 3-pass MXU cost.
+    Killing that traffic needs the window computed in VMEM — that is the
+    Pallas kernel below (int8-digit dots in-kernel), not a jnp rewrite."""
     xf = x_q.astype(jnp.float32) * s_in
     sq = xf * xf
     c = x_q.shape[-1]

@@ -102,7 +102,8 @@ class Engine:
     def __init__(self, graph: Graph, params: Mapping[str, np.ndarray],
                  mesh: MeshConfig | None = None, predecode: bool = True,
                  optimize: bool = False, block_fusion: bool = False,
-                 donate_inputs: bool = False, phase_stem: bool = True):
+                 donate_inputs: bool = False, phase_stem: bool = True,
+                 merge_1x1: bool = True):
         # optimize=True applies the space_to_depth stem rewrite
         # (graph/optimize.py). Measured on v5e-1 (2026-08-19, ResNet-50
         # b64, interleaved A/B): s2d 4.09/4.17 ms vs plain 3.66/3.57 ms —
@@ -132,10 +133,15 @@ class Engine:
             # ViT stem's layout copies on int8 bytes, not the f32 image
             graph, params = hoist_input_quantize(graph, params)
             if phase_stem:
-                # W-s2d phase packing for strided cin<=4 stems (measured
+                # W-pair packing for strided cin<=4 stems (measured
                 # whole-graph win on the CNN zoo — BASELINE.md §4.6)
                 from ..graph.optimize import pack_phase_stem
                 graph, params = pack_phase_stem(graph, params)
+            if merge_1x1:
+                # sibling 1×1 convs on one input -> one wide conv + slices
+                # (inception heads; BASELINE.md §4.7)
+                from ..graph.optimize import merge_sibling_1x1
+                graph, params = merge_sibling_1x1(graph, params)
         if block_fusion:
             # fuse stride-1 bottleneck runs into qblockchain nodes
             # (kernels/qblocks.py) — measured per-platform before

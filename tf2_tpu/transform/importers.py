@@ -257,7 +257,11 @@ def load_checkpoint(path: str, graph: Graph) -> dict:
     if set(graph.params) <= keys:
         return import_flat(state, graph)
     if any("/" in k for k in keys):  # keras naming (conv1_conv/kernel)
-        return import_keras_resnet50(state, graph)
+        # the only Keras importer is the ResNet-50 one — a Keras-named
+        # checkpoint for another family must fall through to the clean
+        # "cannot infer importer" error, not a KeyError (ADVICE r4)
+        if graph.name.startswith("resnet50"):
+            return import_keras_resnet50(state, graph)
     name = graph.name.split("_pruned")[0]
     for family, fn in _TV_IMPORTERS.items():
         if name.startswith(family) or name == family:
