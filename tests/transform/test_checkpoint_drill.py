@@ -19,14 +19,18 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 
 
 @pytest.mark.slow
-def test_checkpoint_to_imagenet_eval_pipeline(tmp_path):
+@pytest.mark.parametrize("model,wbits", [("resnet50", 4), ("vit_b16", 8)])
+def test_checkpoint_to_imagenet_eval_pipeline(tmp_path, model, wbits):
     torch = pytest.importorskip("torch")
-    from tests.transform.test_importers import _fake_tv_resnet50_state
+    from tests.transform.test_importers import (_fake_tv_resnet50_state,
+                                               _fake_tv_vit_b16_state)
 
     # 1. a torchvision-format checkpoint on disk (torch pickle)
+    fake = (_fake_tv_resnet50_state() if model == "resnet50"
+            else _fake_tv_vit_b16_state())
     state = {k: torch.from_numpy(np.ascontiguousarray(v))
-             for k, v in _fake_tv_resnet50_state().items()}
-    ckpt = tmp_path / "resnet50_tv.pth"
+             for k, v in fake.items()}
+    ckpt = tmp_path / f"{model}_tv.pth"
     torch.save(state, str(ckpt))
 
     # 2. transform CLI ingests it and writes a quantized artifact
@@ -34,7 +38,7 @@ def test_checkpoint_to_imagenet_eval_pipeline(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run(
         [sys.executable, "-m", "tf2_tpu.transform.cli",
-         "--model", "resnet50", "--wbits", "4", "--out", str(art),
+         "--model", model, "--wbits", str(wbits), "--out", str(art),
          "--checkpoint", str(ckpt), "--batch", "2", "--image", "64",
          "--calib-batches", "1"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1500)
@@ -52,7 +56,7 @@ def test_checkpoint_to_imagenet_eval_pipeline(tmp_path):
 
     # 4. eval harness: checkpoint + shards -> top-1 delta report
     from eval.accuracy import imagenet_eval
-    rep = imagenet_eval("resnet50", wbits=4, data_dir=str(data), image=64,
+    rep = imagenet_eval(model, wbits=wbits, data_dir=str(data), image=64,
                         batch=2, checkpoint=str(ckpt))
     assert rep["mode"] == "imagenet"
     assert 0.0 <= rep["quant_top1"] <= 100.0

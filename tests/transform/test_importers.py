@@ -259,3 +259,89 @@ def test_import_keras_resnet50_forward():
     out = execute(g)(params, image=jnp.ones(g.inputs["image"].shape))
     assert out.shape == (1, 1000)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def _fake_tv_vit_b16_state(mlp_naming="linear"):
+    """Exact torchvision vit_b_16 key/shape structure, random values."""
+    rng = np.random.RandomState(1)
+    s = {"class_token": rng.randn(1, 1, 768).astype(np.float32) * 0.02,
+         "conv_proj.weight": rng.randn(768, 3, 16, 16).astype(np.float32) * 0.02,
+         "conv_proj.bias": np.zeros(768, np.float32),
+         "encoder.pos_embedding": rng.randn(1, 197, 768).astype(np.float32) * 0.02}
+
+    def lin(name, o, i):
+        s[f"{name}.weight"] = rng.randn(o, i).astype(np.float32) * 0.02
+        s[f"{name}.bias"] = np.zeros(o, np.float32)
+
+    for i in range(12):
+        p = f"encoder.layers.encoder_layer_{i}"
+        s[f"{p}.ln_1.weight"] = np.ones(768, np.float32)
+        s[f"{p}.ln_1.bias"] = np.zeros(768, np.float32)
+        s[f"{p}.self_attention.in_proj_weight"] = \
+            rng.randn(2304, 768).astype(np.float32) * 0.02
+        s[f"{p}.self_attention.in_proj_bias"] = np.zeros(2304, np.float32)
+        lin(f"{p}.self_attention.out_proj", 768, 768)
+        s[f"{p}.ln_2.weight"] = np.ones(768, np.float32)
+        s[f"{p}.ln_2.bias"] = np.zeros(768, np.float32)
+        m1 = f"{p}.mlp.linear_1" if mlp_naming == "linear" else f"{p}.mlp.0"
+        m2 = f"{p}.mlp.linear_2" if mlp_naming == "linear" else f"{p}.mlp.3"
+        lin(m1, 3072, 768)
+        lin(m2, 768, 3072)
+    s["encoder.ln.weight"] = np.ones(768, np.float32)
+    s["encoder.ln.bias"] = np.zeros(768, np.float32)
+    lin("heads.head", 1000, 768)
+    return s
+
+
+@pytest.mark.parametrize("mlp_naming", ["linear", "indexed"])
+def test_import_torchvision_vit_b16_complete(mlp_naming):
+    g = get_model("vit_b16", batch=1, image=224)
+    state = _fake_tv_vit_b16_state(mlp_naming)
+    params = importers.import_torchvision_vit_b16(state, g)
+    assert set(params) == set(g.params)
+    # pos embedding: class-token row dropped, token rows preserved
+    np.testing.assert_allclose(
+        params["pos_embed"], state["encoder.pos_embedding"][:, 1:, :])
+    # qkv packing order preserved (q;k;v rows -> columns after .T)
+    np.testing.assert_allclose(
+        params["blk0_qkv.w"],
+        state["encoder.layers.encoder_layer_0.self_attention.in_proj_weight"].T)
+
+
+def _fake_torch_ssd_state(graph):
+    """torch-module naming for this repo's own SSD architecture."""
+    rng = np.random.RandomState(2)
+    s = {}
+    for pname, spec in graph.params.items():
+        shape = tuple(spec.shape)
+        if pname == "priors":
+            continue  # generated, not learned
+        if pname.endswith(".w"):
+            base = pname[:-2]
+            if len(shape) == 4:
+                kh, kw, ci, co = shape
+                s[f"{base}.weight"] = rng.randn(co, ci, kh, kw).astype(np.float32) * 0.05
+            else:
+                ci, co = shape
+                s[f"{base}.weight"] = rng.randn(co, ci).astype(np.float32) * 0.05
+        elif pname.endswith(".b"):
+            s[f"{pname[:-2]}.bias"] = np.zeros(shape, np.float32)
+        elif pname.endswith("_bn.scale"):
+            s[f"{pname[:-9]}_bn.weight"] = np.ones(shape, np.float32)
+        elif pname.endswith("_bn.offset"):
+            s[f"{pname[:-10]}_bn.bias"] = np.zeros(shape, np.float32)
+        elif pname.endswith("_bn.mean"):
+            s[f"{pname[:-8]}_bn.running_mean"] = np.zeros(shape, np.float32)
+        elif pname.endswith("_bn.var"):
+            s[f"{pname[:-7]}_bn.running_var"] = np.ones(shape, np.float32)
+    return s
+
+
+def test_import_torch_ssd_complete():
+    g = get_model("ssd", batch=1, image=256)
+    state = _fake_torch_ssd_state(g)
+    params = importers.import_torch_ssd(state, g)
+    assert set(params) == set(g.params)
+    assert params["priors"].shape == tuple(g.params["priors"].shape)
+    # conv layout transposed OIHW -> HWIO
+    assert params["stem.w"].shape == tuple(g.params["stem.w"].shape)

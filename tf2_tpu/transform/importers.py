@@ -205,6 +205,111 @@ def import_keras_resnet50(weights: Mapping, graph: Graph) -> dict:
     return out
 
 
+def import_torchvision_vit_b16(state: Mapping, graph: Graph) -> dict:
+    """torchvision ``vit_b_16`` state_dict -> params for models/vit.build()
+    (VERDICT r4 task 8).
+
+    Name map: conv_proj -> patch_embed (OIHW->HWIO),
+    encoder.pos_embedding -> pos_embed, encoder.layers.encoder_layer_{i}.
+    {ln_1, self_attention.in_proj*, self_attention.out_proj, ln_2,
+    mlp.linear_1|mlp.0, mlp.linear_2|mlp.3} -> blk{i}_{ln1, qkv, proj,
+    ln2, mlp1, mlp2}, encoder.ln -> ln_final, heads.head -> head. The
+    in_proj packing (q;k;v rows) and contiguous head split match this
+    IR's qkv dense + attention_core exactly.
+
+    ARCHITECTURAL CAVEAT (documented, deliberate): torchvision classifies
+    from a CLASS TOKEN; this IR uses token mean-pooling (models/vit.py).
+    The class token is dropped and ``pos_embedding[:, 1:]`` is used, so a
+    pretrained checkpoint loads structurally but its real top-1 through
+    the GAP head differs from torchvision's reported number. The real-
+    accuracy gate needs either a GAP-finetuned checkpoint or a cls-token
+    graph variant — recorded in BASELINE.md §6 so nobody mistakes this
+    import for numeric parity."""
+    out: dict[str, np.ndarray] = {}
+    out["patch_embed.w"] = conv_oihw_to_hwio(state["conv_proj.weight"])
+    out["patch_embed.b"] = _np(state["conv_proj.bias"])
+    pos = _np(state["encoder.pos_embedding"])
+    t = graph.params["pos_embed"].shape[1]
+    out["pos_embed"] = pos[:, -t:, :]  # drop the class-token position
+
+    def lin(src: str, dst: str):
+        out[f"{dst}.w"] = _np(state[f"{src}.weight"]).T
+        out[f"{dst}.b"] = _np(state[f"{src}.bias"])
+
+    def ln(src: str, dst: str):
+        out[f"{dst}.scale"] = _np(state[f"{src}.weight"])
+        out[f"{dst}.offset"] = _np(state[f"{src}.bias"])
+
+    i = 0
+    while f"encoder.layers.encoder_layer_{i}.ln_1.weight" in state:
+        src = f"encoder.layers.encoder_layer_{i}"
+        ln(f"{src}.ln_1", f"blk{i}_ln1")
+        out[f"blk{i}_qkv.w"] = _np(
+            state[f"{src}.self_attention.in_proj_weight"]).T
+        out[f"blk{i}_qkv.b"] = _np(
+            state[f"{src}.self_attention.in_proj_bias"])
+        lin(f"{src}.self_attention.out_proj", f"blk{i}_proj")
+        ln(f"{src}.ln_2", f"blk{i}_ln2")
+        mlp1 = (f"{src}.mlp.linear_1" if f"{src}.mlp.linear_1.weight"
+                in state else f"{src}.mlp.0")
+        mlp2 = (f"{src}.mlp.linear_2" if f"{src}.mlp.linear_2.weight"
+                in state else f"{src}.mlp.3")
+        lin(mlp1, f"blk{i}_mlp1")
+        lin(mlp2, f"blk{i}_mlp2")
+        i += 1
+    ln("encoder.ln", "ln_final")
+    lin("heads.head", "head")
+
+    _check_against_graph(out, graph)
+    return out
+
+
+def import_torch_named(state: Mapping, graph: Graph,
+                       extra: Mapping | None = None) -> dict:
+    """Generic torch-module-naming importer: maps ``X.weight``/``X.bias``/
+    ``X_bn.{weight,bias,running_mean,running_var}`` onto this IR's
+    ``X.w``/``X.b``/``X_bn.{scale,offset,mean,var}`` with layout
+    transposes by rank (OIHW->HWIO for convs, (out,in)->T for linears).
+    Covers any graph built from conv/dense/batch_norm primitives — the
+    SSD family's ingestion path (its backbone is this repo's own
+    architecture, so a torch training run of it exports exactly these
+    names). ``extra`` supplies generated params (e.g. SSD priors)."""
+    out: dict[str, np.ndarray] = dict(extra or {})
+    for pname, spec in graph.params.items():
+        if pname in out:
+            continue
+        if pname.endswith(".w"):
+            w = _np(state[pname[:-2] + ".weight"])
+            if w.ndim == 4:
+                w = w.transpose(2, 3, 1, 0)
+            elif w.ndim == 2 and tuple(w.shape) != tuple(spec.shape):
+                w = w.T
+            out[pname] = w
+        elif pname.endswith(".b"):
+            out[pname] = _np(state[pname[:-2] + ".bias"])
+        elif pname.endswith("_bn.scale"):
+            out[pname] = _np(state[pname[:-9] + "_bn.weight"])
+        elif pname.endswith("_bn.offset"):
+            out[pname] = _np(state[pname[:-10] + "_bn.bias"])
+        elif pname.endswith("_bn.mean"):
+            out[pname] = _np(state[pname[:-8] + "_bn.running_mean"])
+        elif pname.endswith("_bn.var"):
+            out[pname] = _np(state[pname[:-7] + "_bn.running_var"])
+        elif pname in state:
+            out[pname] = _np(state[pname])
+        else:
+            raise ValueError(f"no source key for graph param {pname!r}")
+    _check_against_graph(out, graph)
+    return out
+
+
+def import_torch_ssd(state: Mapping, graph: Graph) -> dict:
+    """torch checkpoint -> params for models/ssd.build(): the generic
+    torch-naming map plus generated priors (not a learned tensor)."""
+    from ..models.ssd import init_priors
+    return import_torch_named(state, graph, extra=init_priors(graph))
+
+
 def import_flat(state: Mapping, graph: Graph) -> dict:
     """Flat dict already keyed by our names (e.g. re-exported safetensors)."""
     out = {k: _np(v) for k, v in state.items() if k in graph.params}
@@ -216,6 +321,9 @@ _TV_IMPORTERS = {
     "resnet50": import_torchvision_resnet50,
     "squeezenet_v1_1": import_torchvision_squeezenet1_1,
     "googlenet": import_torchvision_googlenet,
+    "vit_b16": import_torchvision_vit_b16,
+    "ssd_resnetish": import_torch_ssd,
+    "ssd": import_torch_ssd,
 }
 
 
