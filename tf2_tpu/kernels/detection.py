@@ -95,6 +95,16 @@ def nms_single_class(boxes: jax.Array, scores: jax.Array, k: int,
     pinned by tests/kernels/test_detection.py."""
     scores_k, idx = jax.lax.top_k(scores, k)
     boxes_k = _onehot_take(idx, boxes)
+    # zero the boxes of zero-score candidates (thresholded-out anchors
+    # picked by top_k tie-breaking). Exact: they sort after every real
+    # candidate, so greedy suppression can never flow from them to one;
+    # zero boxes have IoU 0, so they also build no chains among
+    # themselves. Without this, the background-dominated regime is
+    # SLOWER than random scores (3.43 vs 3.13 ms b64, SSD_CASES.json r5):
+    # tie-broken candidates come out in anchor-grid order — spatially
+    # adjacent, heavily overlapping — and the intra-tile fixpoint walks
+    # their deep chains for nothing.
+    boxes_k = jnp.where((scores_k > 0.0)[:, None], boxes_k, 0.0)
     t = min(_NMS_TILE, k)
     kp = -(-k // t) * t
     # pad with zero boxes (iou 0, score-sorted last): keep bits of the
