@@ -48,7 +48,11 @@ def engine_steady(graph, params, batch: int, seconds: float,
     steps = 0
     while time.perf_counter() - t0 < seconds:
         x = batches[steps % len(batches)]
-        outs.append(eng(**{iname: x.copy() if donate else x}))
+        # BOTH arms get a fresh copy: round 4 copied only in the donate
+        # arm, and that asymmetry (not donation) produced the 985-vs-315
+        # img/s "win" through the relay — the fair A/B measures no delta
+        # (VERDICT r4 weak #4; BASELINE.md §4.4 correction)
+        outs.append(eng(**{iname: x.copy()}))
         if len(outs) > 2:
             jax.block_until_ready(outs.pop(0))
         steps += 1

@@ -26,7 +26,11 @@ def test_donated_engine_matches_nondonated():
                                      art.graph.inputs["image"].shape))
     ref = np.asarray(Engine(art.graph, art.params).run(image=x.copy()))
     eng = Engine(art.graph, art.params, donate_inputs=True)
-    # fresh host batch each call — the serving pattern donation requires
+    # fresh host batch each call — the serving pattern donation requires.
+    # EXPECTED WARNING: jax reports "Some donated buffers were not
+    # usable" — correct and documented (BASELINE.md §4.4): the f32 image
+    # cannot alias the tiny logits output, so XLA aliasing is inert;
+    # donation's value is client-side buffer lifecycle, not on-chip reuse.
     for _ in range(3):
         out = np.asarray(eng.run(image=x.copy()))
         np.testing.assert_array_equal(out, ref)
