@@ -14,10 +14,35 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# v5e-class public per-chip peaks (BASELINE.md §3; re-verify on hardware)
+# v5e-class public per-chip peaks (BASELINE.md §3) — overridden by this
+# chip's MEASURED envelope when bench/peaks.py has written PEAKS.json
+# (§3.5: this "v5 lite" measures 456-666 GB/s by access mix, ~56-81% of
+# the public 819; using the public figure would flatter every
+# sol_fraction by ~1.5x)
 PEAK_INT8_TOPS = 394e12
 PEAK_BF16_FLOPS = 197e12
 PEAK_HBM_BPS = 819e9
+
+
+def _apply_measured_peaks():
+    global PEAK_INT8_TOPS, PEAK_BF16_FLOPS, PEAK_HBM_BPS
+    p = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PEAKS.json")
+    try:
+        with open(p) as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        return
+    if "int8_tops" in d:
+        PEAK_INT8_TOPS = d["int8_tops"] * 1e12
+    if "bf16_tflops" in d:
+        PEAK_BF16_FLOPS = d["bf16_tflops"] * 1e12
+    # the 2r1w mix is the relevant ceiling for conv-net layer traffic
+    if "hbm_2r1w_gbps" in d:
+        PEAK_HBM_BPS = d["hbm_2r1w_gbps"] * 1e9
+
+
+_apply_measured_peaks()
 
 
 def conv_out_hw(h, w, kh, kw, sh, sw, padding):

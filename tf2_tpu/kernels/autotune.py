@@ -143,10 +143,14 @@ def detail(key: str) -> dict | None:
     return _load()["detail"].get(key)
 
 
-# v5e-class peaks for the physics floor (bench/roofline.py ceilings). Peak
-# numbers make the floor a strict LOWER bound: any timing below it is by
-# definition not a measurement of the op (VERDICT r2 weak #1 — round 2's
-# table recorded 0.0 ms winners).
+# v5e-class PUBLIC peaks for the rejection floor. DELIBERATELY the
+# public numbers, not PEAKS.json's measured envelope (456-666 GB/s,
+# BASELINE.md §3.5): the floor must be a STRICT lower bound on any
+# device — a higher assumed bandwidth makes the floor LOWER, i.e.
+# safely conservative. Do NOT "correct" these to the measured values:
+# that would raise the floor above physics for access mixes faster than
+# the probe's (VERDICT r4 weak #8), and a true reading could be
+# rejected as impossible.
 _PEAK_INT8_OPS = 394e12
 _PEAK_HBM_BPS = 819e9
 
