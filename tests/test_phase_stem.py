@@ -52,3 +52,23 @@ def test_wpack2_valid_padding_odd_ow():
     eng = Engine(art.graph, art.params, phase_stem=True)
     y_on = np.asarray(eng(image=x))
     np.testing.assert_array_equal(y_on, y_off)
+
+
+def test_fire_expand_merge_bitexact():
+    """SqueezeNet fire expand pair (1x1 + 3x3 on the squeeze output):
+    the mixed-kernel sibling merge (1x1 zero-padded into the 3x3 bank)
+    must be bit-exact and fire only at h >= 20 (measured loss below)."""
+    g = get_model("squeezenet_v1_1", batch=2, image=160, classes=10)
+    params = init_params(g, seed=0)
+    batches = [{"image": jax.random.normal(jax.random.PRNGKey(2),
+                                           g.inputs["image"].shape)}]
+    art, _, _ = transform_model(g, params, batches,
+                                qspec=QuantSpec(weight_bits=8))
+    x = batches[0]["image"]
+    off = Engine(art.graph, art.params, merge_1x1=False)
+    on = Engine(art.graph, art.params, merge_1x1=True)
+    merged = [n for n in on.graph.nodes if n.name.endswith("__m1x1")]
+    assert merged, "no fire pairs merged"
+    assert all(n.attrs["kshape"][0] == 3 for n in merged)
+    np.testing.assert_array_equal(np.asarray(on(image=x)),
+                                  np.asarray(off(image=x)))

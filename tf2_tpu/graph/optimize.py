@@ -185,39 +185,71 @@ def merge_sibling_1x1(graph: Graph, params) -> tuple[Graph, dict]:
     pass. The slices are cheap (int8, ≤5 MB) relative to the re-reads
     they replace.
 
+    Extension (r5b): a single 1×1 sibling merges INTO a 3×3 sibling by
+    zero-padding its kernel to 3×3 (exact under SAME padding — zero taps
+    contribute nothing). 9× the 1×1's MACs, but on a bandwidth-starved
+    model one wide conv + one input read wins: SqueezeNet fire expand
+    pairs measured standalone (int8, b64, bit-exact): 56²/E64 276→161 µs,
+    28²/E192 151→123, 14²/E256 30→37 — LOSES below h≈20, so the mixed
+    merge is gated on input h ≥ 20 (the identical-k merge has no MAC
+    waste and stays ungated).
+
     Runs at engine load AFTER predecode (weights must be int8-decoded;
     pot4 artifacts decode there on the XLA route)."""
     from collections import defaultdict
 
+    from .shapes import activation_shapes
+
+    try:
+        shapes = activation_shapes(graph, params)
+    except Exception:
+        shapes = {}
+
     groups: dict[tuple, list[Node]] = defaultdict(list)
     for n in graph.nodes:
         if (n.op == "qconv2d" and n.attrs.get("wfmt") == "int8"
-                and tuple(n.attrs["kshape"][:2]) == (1, 1)
+                and tuple(n.attrs["kshape"][:2]) in ((1, 1), (3, 3))
                 and tuple(n.attrs.get("strides", [1, 1])) == (1, 1)
                 and n.attrs.get("groups", 1) == 1
-                and "s_in" not in n.attrs):
+                and "s_in" not in n.attrs
+                and (tuple(n.attrs["kshape"][:2]) == (1, 1)
+                     or n.attrs.get("padding", "SAME") == "SAME")):
             key = (n.inputs[0], bool(n.attrs.get("relu")))
             groups[key].append(n)
-    merges = {k: v for k, v in groups.items() if len(v) >= 2}
+
+    merges: dict[tuple, tuple[list[Node], int]] = {}
+    for key, sibs in groups.items():
+        ones = [s for s in sibs if tuple(s.attrs["kshape"][:2]) == (1, 1)]
+        threes = [s for s in sibs if tuple(s.attrs["kshape"][:2]) == (3, 3)]
+        xshape = shapes.get(key[0])
+        h = xshape[1] if xshape else 0
+        if ones and threes and h >= 20:
+            merges[key] = (ones + threes, 3)     # pad 1×1s into a 3×3 merge
+        elif len(ones) >= 2:
+            merges[key] = (ones, 1)              # classic same-k merge
     if not merges:
         return graph, dict(params)
     new_params = dict(params)
     new_specs = dict(graph.params)
     replaced: dict[str, tuple[str, int, int]] = {}  # node -> (merged, lo, hi)
     merged_nodes: dict[str, Node] = {}  # first-sibling name -> merged node
-    for (src, relu), sibs in merges.items():
+    for (src, relu), (sibs, km) in merges.items():
         ws, ess, ebs = [], [], []
         lo = 0
         for s in sibs:
             kh, kw, cin, cout = s.attrs["kshape"]
-            ws.append(np.asarray(new_params[s.params[0]]).reshape(cin, cout))
+            w = np.asarray(new_params[s.params[0]]).reshape(kh, kw, cin, cout)
+            if kh != km:
+                p = (km - kh) // 2
+                w = np.pad(w, ((p, p), (p, p), (0, 0), (0, 0)))
+            ws.append(w)
             ess.append(np.asarray(new_params[s.params[1]]))
             ebs.append(np.asarray(new_params[s.params[2]]))
             replaced[s.name] = (f"{src}__m1x1", lo, lo + cout)
             lo += cout
-        cin = ws[0].shape[0]
+        cin = ws[0].shape[2]
         mname = f"{src}__m1x1"
-        wm = np.concatenate(ws, axis=1).reshape(1, 1, cin, lo)
+        wm = np.concatenate(ws, axis=3)
         pn = (f"{mname}.wq", f"{mname}.es", f"{mname}.eb")
         new_params[pn[0]] = wm.astype(np.int8)
         new_params[pn[1]] = np.concatenate(ess).astype(np.float32)
@@ -234,7 +266,7 @@ def merge_sibling_1x1(graph: Graph, params) -> tuple[Graph, dict]:
                  "in_scale": first.attrs.get("in_scale"),
                  "out_scales": [s.attrs.get("out_scale") for s in sibs],
                  "strides": [1, 1], "padding": "SAME", "groups": 1,
-                 "kshape": [1, 1, cin, lo]}
+                 "kshape": [km, km, cin, lo]}
         merged_nodes[first.name] = Node(mname, "qconv2d", (src,), pn, attrs)
     new_nodes: list[Node] = []
     for n in graph.nodes:
