@@ -72,3 +72,19 @@ def test_fire_expand_merge_bitexact():
     assert all(n.attrs["kshape"][0] == 3 for n in merged)
     np.testing.assert_array_equal(np.asarray(on(image=x)),
                                   np.asarray(off(image=x)))
+
+
+def test_googlenet_sibling_merge_bitexact():
+    """Inception-head 1x1 trio merge on/off parity (engine level)."""
+    g = get_model("googlenet", batch=2, image=64, classes=10)
+    params = init_params(g, seed=0)
+    batches = [{"image": jax.random.normal(jax.random.PRNGKey(3),
+                                           g.inputs["image"].shape)}]
+    art, _, _ = transform_model(g, params, batches,
+                                qspec=QuantSpec(weight_bits=8))
+    x = batches[0]["image"]
+    off = Engine(art.graph, art.params, merge_1x1=False)
+    on = Engine(art.graph, art.params, merge_1x1=True)
+    assert any(n.name.endswith("__m1x1") for n in on.graph.nodes)
+    np.testing.assert_array_equal(np.asarray(on(image=x)),
+                                  np.asarray(off(image=x)))
