@@ -228,10 +228,14 @@ def main(argv=None):
     ap.add_argument("--wbits", type=int, default=4)
     ap.add_argument("--data", default=None)
     ap.add_argument("--checkpoint", default=None)
-    ap.add_argument("--image", type=int, default=224)
+    ap.add_argument("--image", type=int, default=None,
+                    help="default 224 (256 for ssd — its heads need "
+                         "64 | image)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--batches", type=int, default=4)
     args = ap.parse_args(argv)
+    if args.image is None:
+        args.image = 256 if args.model == "ssd" else 224
     if args.data:
         out = imagenet_eval(args.model, args.wbits, args.data,
                             image=args.image, batch=args.batch,

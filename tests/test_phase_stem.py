@@ -88,3 +88,23 @@ def test_googlenet_sibling_merge_bitexact():
     assert any(n.name.endswith("__m1x1") for n in on.graph.nodes)
     np.testing.assert_array_equal(np.asarray(on(image=x)),
                                   np.asarray(off(image=x)))
+
+
+def test_pruned_graph_engine_passes_bitexact():
+    """Channel-pruned graphs (irregular couts) through the full engine
+    pass chain (wpack2 + merges) must stay bit-exact vs the plain
+    executor."""
+    from tf2_tpu.transform import PruneSpec
+    g = get_model("googlenet", batch=2, image=64, classes=10)
+    params = init_params(g, seed=0)
+    batches = [{"image": jax.random.normal(jax.random.PRNGKey(4),
+                                           g.inputs["image"].shape)}]
+    art, _, _ = transform_model(g, params, batches,
+                                qspec=QuantSpec(weight_bits=8),
+                                pspec=PruneSpec(fraction=0.3))
+    x = batches[0]["image"]
+    from tf2_tpu.graph import execute
+    y_plain = np.asarray(jax.jit(execute(art.graph))(
+        {k: jnp.asarray(v) for k, v in art.params.items()}, image=x))
+    y_eng = np.asarray(Engine(art.graph, art.params)(image=x))
+    np.testing.assert_array_equal(y_eng, y_plain)
