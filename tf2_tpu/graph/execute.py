@@ -316,6 +316,19 @@ def _slice_c(node: Node, params, x):
     return lax.slice_in_dim(x, node.attrs["lo"], node.attrs["hi"], axis=-1)
 
 
+@register_op("prepend_token")
+def _prepend_token(node: Node, params, x):
+    tok = params[node.params[0]].astype(x.dtype)
+    b = x.shape[0]
+    return jnp.concatenate([jnp.broadcast_to(tok, (b, 1, x.shape[-1])), x],
+                           axis=1)
+
+
+@register_op("take_token")
+def _take_token(node: Node, params, x):
+    return x[:, node.attrs.get("idx", 0), :]
+
+
 @register_op("softmax")
 def _softmax(node, params, x):
     return jax.nn.softmax(x, axis=-1)

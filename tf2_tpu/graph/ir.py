@@ -76,6 +76,9 @@ OPS = {
                  "by out_scale at quantize time)",
     "slice_c": "static channel slice (last axis) — emitted by the "
                "sibling-1x1 merge pass (graph/optimize.merge_sibling_1x1)",
+    "prepend_token": "prepend a learned (1,1,D) token to a (B,T,D) "
+                     "sequence (ViT class token)",
+    "take_token": "select one token: (B,T,D) -> (B,D) at attrs['idx']",
 }
 
 

@@ -44,3 +44,4 @@ register("resnet50")(_resnet.build)
 register("googlenet")(_googlenet.build)
 register("ssd")(_ssd.build)
 register("vit_b16")(_vit.build)
+register("vit_b16_cls")(lambda **kw: _vit.build(cls_token=True, **kw))

@@ -217,20 +217,22 @@ def import_torchvision_vit_b16(state: Mapping, graph: Graph) -> dict:
     in_proj packing (q;k;v rows) and contiguous head split match this
     IR's qkv dense + attention_core exactly.
 
-    ARCHITECTURAL CAVEAT (documented, deliberate): torchvision classifies
-    from a CLASS TOKEN; this IR uses token mean-pooling (models/vit.py).
-    The class token is dropped and ``pos_embedding[:, 1:]`` is used, so a
-    pretrained checkpoint loads structurally but its real top-1 through
-    the GAP head differs from torchvision's reported number. The real-
-    accuracy gate needs either a GAP-finetuned checkpoint or a cls-token
-    graph variant — recorded in BASELINE.md §6 so nobody mistakes this
-    import for numeric parity."""
+    Two graph variants (models/vit.py):
+    - ``vit_b16`` (GAP head, the perf config): the class token is dropped
+      and ``pos_embedding[:, 1:]`` used — loads structurally but real
+      top-1 through the GAP head differs from torchvision's number.
+    - ``vit_b16_cls`` (cls-token head): full NUMERIC parity — the class
+      token, all 197 positions, and classification from token 0 match
+      torchvision exactly; use this variant for the real-accuracy gate."""
     out: dict[str, np.ndarray] = {}
     out["patch_embed.w"] = conv_oihw_to_hwio(state["conv_proj.weight"])
     out["patch_embed.b"] = _np(state["conv_proj.bias"])
     pos = _np(state["encoder.pos_embedding"])
     t = graph.params["pos_embed"].shape[1]
-    out["pos_embed"] = pos[:, -t:, :]  # drop the class-token position
+    out["pos_embed"] = pos[:, -t:, :]  # GAP graph: drops the cls position
+    if "cls_token" in graph.params:
+        # vit_b16_cls: full numeric parity — cls token + all positions
+        out["cls_token"] = _np(state["class_token"])
 
     def lin(src: str, dst: str):
         out[f"{dst}.w"] = _np(state[f"{src}.weight"]).T

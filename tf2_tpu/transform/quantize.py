@@ -28,7 +28,7 @@ from . import potq
 
 # ops that pass int8 through unchanged (same scale)
 _PASSTHROUGH = {"maxpool", "reshape", "flatten", "identity", "dropout",
-                "transpose", "pad"}
+                "transpose", "pad", "take_token"}
 
 
 @dataclasses.dataclass
@@ -374,6 +374,20 @@ def quantize_graph(graph: Graph, params: Mapping[str, np.ndarray],
                 new_nodes.append(Node(node.name, "qbias_add", (nv,), (p,),
                                       {"s_in": s_in, "s_out": s_out}))
                 val[node.name] = (node.name, s_out)
+                continue
+
+        if spec.int8_residual and node.op == "prepend_token":
+            nv, s_in = val[node.inputs[0]]
+            if s_in is not None:
+                # pre-quantize the class token onto the stream's grid:
+                # the op itself is dtype-generic (concat of a broadcast
+                # param), so the int8 graph reuses it with an int8 param
+                tok = np.asarray(params[node.params[0]], np.float32)
+                p = add_param(f"{node.name}.tq", np.clip(
+                    np.round(tok / s_in), -127, 127).astype(np.int8))
+                new_nodes.append(Node(node.name, "prepend_token", (nv,),
+                                      (p,), dict(node.attrs)))
+                val[node.name] = (node.name, s_in)
                 continue
 
         if node.op in _PASSTHROUGH:
