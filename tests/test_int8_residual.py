@@ -118,3 +118,18 @@ def test_vit_int8_resident_error_budget(tiny_vit_arts):
     # quantizing the residual stream must not blow up golden error:
     # allow at most 1.5x the fp-glue baseline (measured: it is *lower*)
     assert errs[True] <= errs[False] * 1.5 + 1e-3, errs
+
+
+def test_vit_engine_matches_plain_executor(tiny_vit_arts):
+    """Engine load passes (hoist_input_quantize on the patchified stem)
+    must be bit-exact vs the plain graph executor."""
+    from tf2_tpu.runtime import Engine
+    x, arts = tiny_vit_arts
+    art, _, _ = arts[True]
+    y_plain = np.asarray(jax.jit(execute(art.graph))(
+        {k: jnp.asarray(v) for k, v in art.params.items()}, image=x))
+    eng = Engine(art.graph, art.params)
+    # the hoisted quantize sits at the front of the graph
+    first_ops = [n.op for n in eng.graph.nodes[:2]]
+    assert "quantize" in first_ops, first_ops
+    np.testing.assert_array_equal(np.asarray(eng(image=x)), y_plain)
