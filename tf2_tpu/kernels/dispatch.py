@@ -120,6 +120,22 @@ def _epilogue(acc_i32, eff_scale, eff_bias, relu: bool):
     return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
 
 
+def _bf16_midconv_applies(node: Node, xshape) -> bool:
+    """Mid-graph int8 convs with 4 < cin <= 32 at LARGE spatial size run
+    faster on the bf16 MXU path (exact: int operands <= 127, f32 acc,
+    K*127^2 < 2^24). Measured v5e-1 2026-08-21, whole-graph A/B:
+    SSD s1a (cin32, 128^2) 3.17-3.21 -> 3.02-3.11 ms; but GoogLeNet's
+    cin 16-48 branch convs at 14-28^2 REGRESS (2.91-3.02 -> 3.11 ms) and
+    SqueezeNet's 56^2 fire expands tie — hence the h >= 64 gate."""
+    kh, kw, cin, _ = node.attrs["kshape"]
+    return (_int_mode() == "int" and 4 < cin <= 32
+            and xshape[1] >= 64
+            and node.attrs.get("groups", 1) == 1
+            and kh * kw * cin * 127 * 127 < 2 ** 24
+            and (jax.default_backend() == "tpu" if _STEM_BF16 is None
+                 else _STEM_BF16))
+
+
 def _stem_bf16_applies(node: Node) -> bool:
     kh, kw, cin, _ = node.attrs["kshape"]
     # groups==1 only: kshape[2] is per-GROUP cin, so a grouped/depthwise
@@ -214,6 +230,12 @@ def qconv2d(node: Node, params, x_q: jax.Array) -> jax.Array:
                 padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=groups,
                 preferred_element_type=jnp.float32)
+    elif x_q.dtype == jnp.int8 and _bf16_midconv_applies(node, x_q.shape):
+        acc = lax.conv_general_dilated(
+            x_q.astype(jnp.bfloat16), w_q.astype(jnp.bfloat16), strides,
+            padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32)
     elif _int_mode() == "int":
         acc = lax.conv_general_dilated(
             x_q, w_q, strides, padding,
